@@ -1,0 +1,27 @@
+"""Test env: force an 8-device virtual CPU mesh so sharding/collective code
+paths run without TPU hardware (SURVEY.md §4 implication).
+
+The container's axon sitecustomize (PYTHONPATH=/root/.axon_site) registers the
+TPU tunnel backend at interpreter start and pins JAX_PLATFORMS=axon, so env
+vars alone are too late; instead we flip the platform through jax.config
+before any backend is initialized (XLA_FLAGS is still read lazily at CPU
+client creation, so the 8-device flag works from here)."""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()

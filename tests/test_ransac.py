@@ -1,0 +1,107 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gluefactory_tpu.geometry.epipolar import relative_pose_error
+from gluefactory_tpu.geometry.essential import (
+    eight_point_essential,
+    recover_pose_from_essential,
+    sampson_distance,
+    triangulate_depths,
+)
+from gluefactory_tpu.geometry.homography import homography_corner_error, warp_points
+from gluefactory_tpu.geometry.utils import so3exp_map
+from gluefactory_tpu.geometry.wrappers import Camera, Pose
+from gluefactory_tpu.robust_estimators import load_estimator
+
+rng = np.random.default_rng(7)
+
+
+def make_pose(scale_rot=0.3):
+    aa = rng.normal(size=3) * scale_rot
+    t = rng.normal(size=3)
+    t = t / np.linalg.norm(t)
+    return Pose.from_aa(jnp.asarray(aa, jnp.float32), jnp.asarray(t, jnp.float32))
+
+
+def make_two_view_scene(n=256, noise=0.5, outlier_frac=0.3):
+    cam = Camera.from_fc(
+        size=jnp.array([640.0, 480.0]), f=jnp.array([500.0, 500.0]), c=jnp.array([320.0, 240.0])
+    )
+    T = make_pose()
+    p3d = rng.uniform(-2, 2, size=(n, 3)) * np.array([1, 1, 0.5]) + np.array([0, 0, 6.0])
+    p3d = jnp.asarray(p3d, jnp.float32)
+    k0, v0 = cam.cam2image(p3d[None])
+    p3d_1 = T.transform(p3d[None])
+    k1, v1 = cam.cam2image(p3d_1)
+    k0 = np.array(k0[0])
+    k1 = np.array(k1[0])
+    k0 += rng.normal(size=k0.shape) * noise
+    k1 += rng.normal(size=k1.shape) * noise
+    n_out = int(n * outlier_frac)
+    k1[:n_out] = rng.uniform(0, [640, 480], size=(n_out, 2))
+    valid = np.asarray(v0[0] & v1[0])
+    return cam, T, jnp.asarray(k0, jnp.float32), jnp.asarray(k1, jnp.float32), jnp.asarray(valid)
+
+
+def test_eight_point_exact():
+    cam, T, k0, k1, valid = make_two_view_scene(n=64, noise=0.0, outlier_frac=0.0)
+    r0 = cam.image2cam(k0[None])[0]
+    r1 = cam.image2cam(k1[None])[0]
+    E = eight_point_essential(r0[None], r1[None])[0]
+    d = np.asarray(sampson_distance(r0[None], r1[None], E[None])[0])
+    assert np.median(d[np.asarray(valid)]) < 1e-9
+
+
+def test_triangulate_depths_positive():
+    T = make_pose()
+    p3d = jnp.asarray(rng.uniform(-1, 1, size=(50, 3)) + np.array([0, 0, 5.0]), jnp.float32)
+    r0 = p3d / p3d[..., -1:]
+    p1 = T.transform(p3d[None])[0]
+    r1 = p1 / p1[..., -1:]
+    s, u = triangulate_depths(r0[None], r1[None], T.R[None], T.t[None])
+    np.testing.assert_allclose(np.asarray(s[0]), np.asarray(p3d[:, 2]), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(u[0]), np.asarray(p1[:, 2]), rtol=1e-3)
+
+
+def test_recover_pose_picks_correct_candidate():
+    cam, T, k0, k1, valid = make_two_view_scene(n=128, noise=0.0, outlier_frac=0.0)
+    r0 = cam.image2cam(k0[None])[0]
+    r1 = cam.image2cam(k1[None])[0]
+    E = eight_point_essential(r0[None], r1[None])[0]
+    R, t = recover_pose_from_essential(E, r0, r1, valid)
+    r_err, t_err = relative_pose_error(T, R, t)
+    assert float(r_err) < 0.5 and float(t_err) < 0.5
+
+
+def test_homography_ransac_with_outliers():
+    H_gt = np.array([[1.2, 0.1, 30.0], [-0.05, 0.9, 10.0], [1e-4, 0.0, 1.0]], np.float32)
+    n = 200
+    k0 = rng.uniform(50, 450, size=(n, 2)).astype(np.float32)
+    k1 = np.array(warp_points(jnp.asarray(k0)[None], jnp.asarray(H_gt)[None])[0])
+    k1 += rng.normal(size=k1.shape) * 0.5
+    k1[:80] = rng.uniform(0, 500, size=(80, 2))  # 40% outliers
+    est = load_estimator("homography", "ransac")({"ransac_th": 3.0, "num_hypotheses": 512})
+    out = est({"m_kpts0": jnp.asarray(k0), "m_kpts1": jnp.asarray(k1)})
+    assert out["success"]
+    err = homography_corner_error(
+        out["M_0to1"][None], jnp.asarray(H_gt)[None], jnp.array([[640.0, 480.0]])
+    )
+    assert float(err[0]) < 2.0
+    inl = np.asarray(out["inliers"])
+    assert inl[80:].mean() > 0.9 and inl[:80].mean() < 0.1
+
+
+def test_relative_pose_ransac_with_outliers():
+    cam, T, k0, k1, valid = make_two_view_scene(n=512, noise=0.5, outlier_frac=0.3)
+    est = load_estimator("relative_pose", "ransac")(
+        {"ransac_th": 2.0, "num_hypotheses": 1024, "lo_iters": 6}
+    )
+    out = est(
+        {"m_kpts0": k0, "m_kpts1": k1, "camera0": cam, "camera1": cam, "valid": valid}
+    )
+    assert out["success"]
+    T_est: Pose = out["M_0to1"]
+    r_err, t_err = relative_pose_error(T, T_est.R, T_est.t)
+    assert float(r_err) < 2.0, float(r_err)
+    assert float(t_err) < 3.0, float(t_err)
