@@ -1,0 +1,85 @@
+"""Benchmark: matched pairs/s/chip of the flagship SuperPoint+LightGlue
+two-view pipeline (1024 keypoints, 9 matcher layers, 512x512 images).
+
+Runs on whatever backend the ambient env provides (the real TPU chip under
+the driver). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
+
+Baseline: the reference stack (SuperPoint+LightGlue, torch, FlashAttention)
+reports ~55 fps end-to-end pair throughput on an RTX 3090 at 1024 keypoints
+(LightGlue paper Table 5 / README timing class); we use 55 pairs/s as the
+reference-per-accelerator number so vs_baseline = ours / reference.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+import numpy as np
+
+BASELINE_PAIRS_PER_S = 55.0
+BATCH = 8
+IMAGE_SIZE = 512
+WARMUP = 3
+ITERS = 10
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import _flagship_conf, _synthetic_batch
+    from gluefactory_tpu.models import build_model
+
+    backend = jax.default_backend()
+    model = build_model("two_view_pipeline", _flagship_conf(tiny=False))
+    data = _synthetic_batch(BATCH, IMAGE_SIZE, with_h=False)
+    params = model.init(jax.random.key(0), data)
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fwd_sum(params, data):
+        pred = model.apply(params, data)
+        # On-device checksum of the key outputs: forces the whole graph to
+        # execute and keeps the host transfer to one scalar. (Through remote
+        # tunnels, block_until_ready alone does NOT guarantee execution.)
+        return (
+            jnp.sum(pred["matching_scores0"])
+            + jnp.sum(pred["keypoints0"])
+            + jnp.sum(pred["keypoints1"])
+        )
+
+    # every timed call gets UNIQUE device-resident input so no layer of the
+    # stack can serve a cached result; shapes stay static so there is exactly
+    # one compilation.
+    datas = [
+        jax.device_put(_synthetic_batch(BATCH, IMAGE_SIZE, rng_seed=i, with_h=False))
+        for i in range(WARMUP + ITERS)
+    ]
+    for i in range(WARMUP):
+        float(fwd_sum(params, datas[i]))
+    t0 = time.perf_counter()
+    outs = [fwd_sum(params, datas[WARMUP + i]) for i in range(ITERS)]
+    checks = [float(x) for x in outs]
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(c) for c in checks)
+    pairs_per_s = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"sp+lightglue_pair_throughput_{backend}",
+                "value": round(pairs_per_s, 2),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,143 @@
+"""Batched line-segment distances and GT line matching
+(reference: gluefactory/models/lines/line_distances.py,
+gluefactory/geometry/gt_generation.py:208-557).
+
+All distances broadcast over (..., L0, L1) pairs of segments (..., L, 2, 2).
+GT line matching replaces the reference's per-image scipy Hungarian solver
+(SURVEY.md §2.9) with greedy mutual-max assignment on device — the matrices
+are built from sampled points reprojected by H or depth+pose."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .homography import warp_points
+
+UNMATCHED = -1
+IGNORE = -2
+
+
+def point_to_seg_dist(points: jnp.ndarray, segs: jnp.ndarray) -> jnp.ndarray:
+    """Distance of points (..., N, 2) to segments (..., M, 2, 2) -> (..., N, M)."""
+    a = segs[..., None, :, 0, :]  # (..., 1, M, 2)
+    b = segs[..., None, :, 1, :]
+    p = points[..., :, None, :]  # (..., N, 1, 2)
+    ab = b - a
+    t = jnp.sum((p - a) * ab, axis=-1) / (jnp.sum(ab * ab, axis=-1) + 1e-8)
+    t = jnp.clip(t, 0.0, 1.0)
+    proj = a + t[..., None] * ab
+    return jnp.linalg.norm(p - proj, axis=-1)
+
+
+def project_point_to_line(points: jnp.ndarray, segs: jnp.ndarray):
+    """Orthogonal projection onto the infinite line; returns (dist, t)."""
+    a = segs[..., None, :, 0, :]
+    b = segs[..., None, :, 1, :]
+    p = points[..., :, None, :]
+    ab = b - a
+    t = jnp.sum((p - a) * ab, axis=-1) / (jnp.sum(ab * ab, axis=-1) + 1e-8)
+    proj = a + t[..., None] * ab
+    return jnp.linalg.norm(p - proj, axis=-1), t
+
+
+def orth_line_dist(segs0: jnp.ndarray, segs1: jnp.ndarray) -> jnp.ndarray:
+    """Mean orthogonal endpoint-to-line distance, symmetrized
+    (reference utils/ls_evaluation.py:get_orth_line_dist:177). (..., L0, L1)."""
+    ep0 = segs0.reshape(*segs0.shape[:-3], -1, 2)  # (..., 2*L0, 2)
+    d01, _ = project_point_to_line(ep0, segs1)  # (..., 2*L0, L1)
+    l0 = segs0.shape[-3]
+    d01 = 0.5 * (d01[..., 0::2, :] + d01[..., 1::2, :])  # (..., L0, L1)
+    ep1 = segs1.reshape(*segs1.shape[:-3], -1, 2)
+    d10, _ = project_point_to_line(ep1, segs0)  # (..., 2*L1, L0)
+    d10 = 0.5 * (d10[..., 0::2, :] + d10[..., 1::2, :])  # (..., L1, L0)
+    return 0.5 * (d01 + jnp.swapaxes(d10, -1, -2))
+
+
+def struct_line_dist(segs0: jnp.ndarray, segs1: jnp.ndarray) -> jnp.ndarray:
+    """Structural distance: min over endpoint orderings of mean endpoint
+    distance (reference line_distances.py). (..., L0, L1)."""
+    a0 = segs0[..., :, None, 0, :]
+    b0 = segs0[..., :, None, 1, :]
+    a1 = segs1[..., None, :, 0, :]
+    b1 = segs1[..., None, :, 1, :]
+    d_s = jnp.linalg.norm(a0 - a1, axis=-1) + jnp.linalg.norm(b0 - b1, axis=-1)
+    d_f = jnp.linalg.norm(a0 - b1, axis=-1) + jnp.linalg.norm(b0 - a1, axis=-1)
+    return 0.5 * jnp.minimum(d_s, d_f)
+
+
+def overlap_fraction(segs0: jnp.ndarray, segs1: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of segs0 overlapping segs1 when projected onto segs1's line
+    (..., L0, L1)."""
+    ep0 = segs0.reshape(*segs0.shape[:-3], -1, 2)
+    _, t = project_point_to_line(ep0, segs1)  # (..., 2*L0, L1)
+    t0 = t[..., 0::2, :]
+    t1 = t[..., 1::2, :]
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    inter = jnp.clip(jnp.minimum(hi, 1.0) - jnp.maximum(lo, 0.0), 0.0, None)
+    seg_len = jnp.maximum(hi - lo, 1e-8)
+    return inter / seg_len
+
+
+def sample_points_on_lines(lines: jnp.ndarray, n_samples: int) -> jnp.ndarray:
+    """(..., L, 2, 2) -> (..., L, S, 2) uniformly spaced points."""
+    t = jnp.linspace(0.0, 1.0, n_samples)
+    a = lines[..., 0, :][..., None, :]
+    b = lines[..., 1, :][..., None, :]
+    return a + t[:, None] * (b - a)
+
+
+def _greedy_mutual_assignment(cost: jnp.ndarray, valid_pair: jnp.ndarray, th: float):
+    """Mutual-min assignment with threshold; the batched stand-in for the
+    reference's per-image Hungarian (gt_generation.py:367,515)."""
+    inf = jnp.asarray(jnp.inf, cost.dtype)
+    C = jnp.where(valid_pair, cost, inf)
+    l0, l1 = C.shape[-2], C.shape[-1]
+    min0 = jnp.min(C, axis=-1)
+    arg0 = jnp.argmin(C, axis=-1)
+    arg1 = jnp.argmin(C, axis=-2)
+    mutual0 = jnp.take_along_axis(arg1, arg0, axis=-1) == jnp.arange(l0)
+    mutual1 = jnp.take_along_axis(arg0, arg1, axis=-1) == jnp.arange(l1)
+    pos0 = mutual0 & (min0 < th)
+    min1 = jnp.min(C, axis=-2)
+    pos1 = mutual1 & (min1 < th)
+    return pos0, pos1, arg0, arg1
+
+
+def gt_line_matches_from_homography(
+    lines0: jnp.ndarray,
+    lines1: jnp.ndarray,
+    valid0: jnp.ndarray,
+    valid1: jnp.ndarray,
+    H_0to1: jnp.ndarray,
+    n_samples: int = 16,
+    dist_th: float = 5.0,
+    overlap_th: float = 0.2,
+) -> dict:
+    """Reproject sampled points of lines0 into view 1 and match segments by
+    perpendicular distance + overlap (reference gt_generation.py:410-557).
+
+    Returns gt line match codes (-1 unmatched, -2 ignore) + assignment."""
+    b = lines0.shape[0]
+    pts0 = sample_points_on_lines(lines0, n_samples)  # (B, L0, S, 2)
+    l0, l1 = lines0.shape[1], lines1.shape[1]
+    pts0_in1 = warp_points(pts0.reshape(b, -1, 2), H_0to1).reshape(b, l0, n_samples, 2)
+    # mean perpendicular distance of warped samples to each candidate segment
+    d = point_to_seg_dist(pts0_in1.reshape(b, l0 * n_samples, 2), lines1)
+    d = d.reshape(b, l0, n_samples, l1).mean(axis=2)  # (B, L0, L1)
+    # overlap of the warped segment with the candidate
+    warped_segs = jnp.stack([pts0_in1[..., 0, :], pts0_in1[..., -1, :]], axis=-2)
+    ov = overlap_fraction(warped_segs, lines1)
+    cost = d
+    valid_pair = valid0[..., :, None] & valid1[..., None, :] & (ov > overlap_th)
+    pos0, pos1, arg0, arg1 = _greedy_mutual_assignment(cost, valid_pair, dist_th)
+    m0 = jnp.where(pos0, arg0, jnp.where(valid0, UNMATCHED, IGNORE))
+    m1 = jnp.where(pos1, arg1, jnp.where(valid1, UNMATCHED, IGNORE))
+    assignment = (
+        pos0[..., :, None] & (jnp.arange(l1) == arg0[..., :, None]) & pos1[..., None, :]
+    )
+    return {
+        "line_matches0": m0.astype(jnp.int32),
+        "line_matches1": m1.astype(jnp.int32),
+        "line_assignment": assignment,
+    }

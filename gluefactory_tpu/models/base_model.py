@@ -64,6 +64,16 @@ class BaseModel(nn.Module):
     def loss(self, pred: dict, data: dict) -> tuple[dict, dict]:
         raise NotImplementedError
 
+    def forward_and_loss(self, data: dict):
+        """Forward + loss in one trace — use as ``method=`` for ``init`` so
+        loss-only submodules (e.g. deep-supervision heads) get parameters."""
+        pred = self(data)
+        try:
+            return pred, self.loss(pred, data)
+        except (NotImplementedError, KeyError):
+            # loss not defined, or GT keys absent at init time — forward-only
+            return pred, None
+
     def metrics(self, pred: dict, data: dict) -> dict:
         return {}
 

@@ -61,24 +61,26 @@ def ransac_homography(
     best = jnp.argmax(score)
     H_best = H[best]
 
-    # --- 4. local optimization: iteratively reweighted DLT ------------------
-    def lo_step(H_cur, _):
+    # --- 4. local optimization: iteratively reweighted DLT with a shrinking
+    # inlier threshold (Lebeda-style LO-RANSAC: start wide at 4x th so noisy
+    # inliers near the threshold are not truncated away, shrink toward th).
+    def msac(Hm):
+        ee = sym_homography_error(kpts0[None], kpts1[None], Hm[None])[0]
+        ee = jnp.nan_to_num(ee, nan=jnp.inf, posinf=jnp.inf)
+        return jnp.sum(jnp.where(valid, jnp.maximum(0.0, 1.0 - (ee / th) ** 2), 0.0))
+
+    th_seq = jnp.geomspace(4.0 * th, th, max(lo_iters, 1))
+
+    def lo_step(H_cur, th_i):
         e = sym_homography_error(kpts0[None], kpts1[None], H_cur[None])[0]
         e = jnp.nan_to_num(e, nan=jnp.inf, posinf=jnp.inf)
-        w = jnp.where(valid & (e < th), jnp.maximum(1.0 - (e / th) ** 2, 1e-3), 0.0)
+        w = jnp.where(valid & (e < th_i), 1.0, 0.0)
         enough = w.sum() > 8.0
         H_new = compute_homography(kpts0[None], kpts1[None], w[None])[0]
-        H_new = jnp.where(jnp.all(jnp.isfinite(H_new)) & enough, H_new, H_cur)
-        # keep the better of the two under MSAC score
-        def msac(Hm):
-            ee = sym_homography_error(kpts0[None], kpts1[None], Hm[None])[0]
-            ee = jnp.nan_to_num(ee, nan=jnp.inf, posinf=jnp.inf)
-            return jnp.sum(jnp.where(valid, jnp.maximum(0.0, 1.0 - (ee / th) ** 2), 0.0))
+        ok = jnp.all(jnp.isfinite(H_new)) & enough & (msac(H_new) >= msac(H_cur))
+        return jnp.where(ok, H_new, H_cur), None
 
-        H_out = jnp.where(msac(H_new) >= msac(H_cur), H_new, H_cur)
-        return H_out, None
-
-    H_ref, _ = jax.lax.scan(lo_step, H_best, None, length=lo_iters)
+    H_ref, _ = jax.lax.scan(lo_step, H_best, th_seq)
     e_fin = sym_homography_error(kpts0[None], kpts1[None], H_ref[None])[0]
     e_fin = jnp.nan_to_num(e_fin, nan=jnp.inf, posinf=jnp.inf)
     inliers = valid & (e_fin < th)

@@ -59,22 +59,25 @@ def ransac_essential(
     best = jnp.argmax(score)
     E_best = E[best]
 
-    def lo_step(E_cur, _):
+    def msac(Em):
+        ee = sampson_distance(rays0[None], rays1[None], Em[None])[0]
+        ee = jnp.nan_to_num(ee, nan=jnp.inf, posinf=jnp.inf)
+        return jnp.sum(jnp.where(valid, jnp.maximum(0.0, 1.0 - ee / th2), 0.0))
+
+    # Shrinking-threshold LO (Lebeda-style): wide first so near-threshold
+    # inliers contribute, then tighten to th.
+    th2_seq = jnp.geomspace(16.0 * th2, th2, max(lo_iters, 1))
+
+    def lo_step(E_cur, th2_i):
         e = sampson_distance(rays0[None], rays1[None], E_cur[None])[0]
         e = jnp.nan_to_num(e, nan=jnp.inf, posinf=jnp.inf)
-        w = jnp.where(valid & (e < th2), jnp.maximum(1.0 - e / th2, 1e-3), 0.0)
+        w = jnp.where(valid & (e < th2_i), 1.0, 0.0)
         enough = w.sum() > 16.0
         E_new = eight_point_essential(rays0[None], rays1[None], w[None])[0]
-
-        def msac(Em):
-            ee = sampson_distance(rays0[None], rays1[None], Em[None])[0]
-            ee = jnp.nan_to_num(ee, nan=jnp.inf, posinf=jnp.inf)
-            return jnp.sum(jnp.where(valid, jnp.maximum(0.0, 1.0 - ee / th2), 0.0))
-
         better = (msac(E_new) >= msac(E_cur)) & enough & jnp.all(jnp.isfinite(E_new))
         return jnp.where(better, E_new, E_cur), None
 
-    E_ref, _ = jax.lax.scan(lo_step, E_best, None, length=lo_iters)
+    E_ref, _ = jax.lax.scan(lo_step, E_best, th2_seq)
     e_fin = sampson_distance(rays0[None], rays1[None], E_ref[None])[0]
     e_fin = jnp.nan_to_num(e_fin, nan=jnp.inf, posinf=jnp.inf)
     inliers = valid & (e_fin < th2)

@@ -1,0 +1,148 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gluefactory_tpu.models import build_model
+
+rng = np.random.default_rng(5)
+
+B, N, D = 2, 32, 32
+
+
+def make_match_data(n_common=20):
+    """Two keypoint sets sharing n_common descriptors (shuffled)."""
+    desc_common = rng.normal(size=(B, n_common, D)).astype(np.float32)
+    d0_extra = rng.normal(size=(B, N - n_common, D)).astype(np.float32)
+    d1_extra = rng.normal(size=(B, N - n_common, D)).astype(np.float32)
+    d0 = np.concatenate([desc_common, d0_extra], axis=1)
+    perm = rng.permutation(N)
+    d1 = np.concatenate([desc_common, d1_extra], axis=1)[:, perm]
+    gt_m0 = np.full((B, N), -1, np.int64)
+    inv = np.argsort(perm)
+    for j in range(n_common):
+        gt_m0[:, j] = inv[j]
+    d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
+    d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+    data = {
+        "keypoints0": jnp.asarray(rng.uniform(0, 100, (B, N, 2)), jnp.float32),
+        "keypoints1": jnp.asarray(rng.uniform(0, 100, (B, N, 2)), jnp.float32),
+        "keypoint_scores0": jnp.ones((B, N), jnp.float32),
+        "keypoint_scores1": jnp.ones((B, N), jnp.float32),
+        "descriptors0": jnp.asarray(d0),
+        "descriptors1": jnp.asarray(d1),
+        "view0": {"image_size": jnp.full((B, 2), 100.0)},
+        "view1": {"image_size": jnp.full((B, 2), 100.0)},
+    }
+    return data, gt_m0
+
+
+def test_nn_matcher_exact():
+    data, gt_m0 = make_match_data()
+    model = build_model("matchers.nearest_neighbor_matcher", {})
+    params = model.init(jax.random.key(0), data)
+    pred = model.apply(params, data)
+    m0 = np.asarray(pred["matches0"])
+    matched = gt_m0 >= 0
+    assert (m0[matched] == gt_m0[matched]).mean() > 0.99
+
+
+LG_CONF = {
+    "input_dim": D, "descriptor_dim": D, "n_layers": 2, "num_heads": 2,
+    "checkpointed": False, "flash": False,
+}
+
+
+def test_lightglue_forward_and_loss():
+    data, gt_m0 = make_match_data()
+    model = build_model("matchers.lightglue", LG_CONF)
+    data_init = {**data, "gt_matches0": jnp.asarray(gt_m0),
+                 "gt_matches1": jnp.full((B, N), -2)}
+    params = model.init(jax.random.key(0), data_init, method=model.forward_and_loss)
+    pred = model.apply(params, data)
+    assert pred["matches0"].shape == (B, N)
+    assert pred["log_assignment"].shape == (B, N, N)
+    data_l = {**data, "gt_matches0": jnp.asarray(gt_m0),
+              "gt_matches1": jnp.full((B, N), -2)}
+    losses, metrics = model.apply(params, pred, data_l, method=model.loss)
+    assert np.isfinite(np.asarray(losses["total"])).all()
+    # gradient flows
+    def loss_fn(p):
+        pr = model.apply(p, data)
+        l, _ = model.apply(p, pr, data_l, method=model.loss)
+        return jnp.mean(l["total"])
+
+    g = jax.grad(loss_fn)(params)
+    gn = float(jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(g))))
+    assert np.isfinite(gn) and gn > 0
+
+
+def test_lightglue_padding_invariance():
+    """Masked (padded) keypoints must not change matches of valid ones."""
+    data, _ = make_match_data()
+    model = build_model("matchers.lightglue", LG_CONF)
+    params = model.init(jax.random.key(0), data)
+    full_valid = {**data,
+                  "keypoint_valid0": jnp.ones((B, N), bool),
+                  "keypoint_valid1": jnp.ones((B, N), bool)}
+    pred_full = model.apply(params, full_valid)
+    n_valid = N - 8
+    mask = jnp.asarray([[True] * n_valid + [False] * 8] * B)
+    # corrupt the padded slots: should have no effect when masked
+    d0 = np.array(data["descriptors0"])
+    d0[:, n_valid:] = 99.0
+    masked = {**data, "descriptors0": jnp.asarray(d0),
+              "keypoint_valid0": mask,
+              "keypoint_valid1": jnp.ones((B, N), bool)}
+    pred_trunc = model.apply(params, masked)
+    m_full = np.asarray(pred_full["matches0"])[:, :n_valid]
+    m_masked = np.asarray(pred_trunc["matches0"])[:, :n_valid]
+    # matches that don't point into the masked region should agree
+    keep = (m_full < n_valid)
+    assert (m_full[keep] == m_masked[keep]).mean() > 0.9
+    # masked slots are unmatched
+    assert (np.asarray(pred_trunc["matches0"])[:, n_valid:] == -1).all()
+
+
+def test_superglue_forward_and_loss():
+    data, gt_m0 = make_match_data()
+    conf = {"input_dim": D, "descriptor_dim": D, "n_layers": 2, "num_heads": 2,
+            "sinkhorn_iterations": 20}
+    model = build_model("matchers.superglue", conf)
+    params = model.init(jax.random.key(0), data)
+    pred = model.apply(params, data)
+    assert pred["log_assignment"].shape == (B, N + 1, N + 1)
+    data_l = {**data, "gt_matches0": jnp.asarray(gt_m0),
+              "gt_matches1": jnp.full((B, N), -2)}
+    losses, metrics = model.apply(params, pred, data_l, method=model.loss)
+    assert np.isfinite(np.asarray(losses["total"])).all()
+
+
+def test_lightglue_trained_head_learns():
+    """A couple of gradient steps on fixed data must reduce the loss."""
+    import optax
+
+    data, gt_m0 = make_match_data()
+    data_l = {**data, "gt_matches0": jnp.asarray(gt_m0),
+              "gt_matches1": jnp.full((B, N), -2)}
+    model = build_model("matchers.lightglue", LG_CONF)
+    params = model.init(jax.random.key(0), data_l, method=model.forward_and_loss)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            pr = model.apply(p, data)
+            l, _ = model.apply(p, pr, data_l, method=model.loss)
+            return jnp.mean(l["total"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(20):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.9, losses
