@@ -42,7 +42,11 @@ def collate(samples: list[Any]) -> Any:
         return type(elem)(*(collate(list(x)) for x in zip(*samples)))
     if isinstance(elem, cabc.Sequence) and not isinstance(elem, str):
         return [collate(list(x)) for x in zip(*samples)]
-    # str, None, Pose/Camera pytrees handled by caller; pass through
+    if hasattr(elem, "R") or hasattr(elem, "f"):  # Pose/Camera dataclass pytrees
+        import jax
+
+        return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *samples)
+    # str / None pass through as lists
     return samples
 
 
@@ -162,6 +166,10 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        # per-epoch item resampling hook (≙ reference dataset_callback_fn,
+        # train.py:408-409 / megadepth.py:160-249)
+        if hasattr(self.dataset, "sample_new_items"):
+            self.dataset.sample_new_items(epoch)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)

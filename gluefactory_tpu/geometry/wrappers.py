@@ -127,6 +127,15 @@ class Pose:
             t=self.t + jnp.einsum("...ij,...j->...i", self.R, delta[..., 3:]),
         )
 
+    def retract_left(self, delta: jnp.ndarray) -> "Pose":
+        """Left-multiply update: T_new = exp(delta) ∘ T — the perturbation the
+        BA Jacobians [-skew(p_cam) | I] linearize (sfm/ba.py)."""
+        dR = so3exp_map(delta[..., :3])
+        return Pose(
+            R=dR @ self.R,
+            t=jnp.einsum("...ij,...j->...i", dR, self.t) + delta[..., 3:],
+        )
+
     def local(self, other: "Pose") -> jnp.ndarray:
         """Tangent coordinates of ``other`` relative to ``self`` (inverse of
         retract)."""

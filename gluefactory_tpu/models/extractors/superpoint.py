@@ -34,12 +34,14 @@ class VGGBackbone(nn.Module):
     """4-stage VGG encoder, stride 8 (reference superpoint.py:170-200)."""
 
     channels: tuple = (64, 64, 64, 64, 128, 128, 128, 128)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cdt = jnp.bfloat16 if self.dtype == "bf16" else jnp.float32
         pool_after = {1, 3, 5}
         for i, ch in enumerate(self.channels):
-            x = nn.Conv(ch, (3, 3), padding="SAME", name=f"conv{i}")(x)
+            x = nn.Conv(ch, (3, 3), padding="SAME", name=f"conv{i}", dtype=cdt)(x)
             x = nn.relu(x)
             if i in pool_after:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -59,19 +61,23 @@ class SuperPoint(BaseModel):
         "dense_outputs": False,
         "channels": [64, 64, 64, 64, 128, 128, 128, 128],
         "head_channels": 256,
+        "dtype": "float32",  # bf16 runs the CNN in bfloat16 (params stay f32)
         "weights": None,
     }
     required_data_keys: ClassVar[list] = ["image"]
 
     def setup(self):
-        self.backbone = VGGBackbone(channels=tuple(self.conf.channels))
+        cdt = jnp.bfloat16 if self.conf.dtype == "bf16" else jnp.float32
+        self.backbone = VGGBackbone(channels=tuple(self.conf.channels),
+                                    dtype=self.conf.dtype)
         head = self.conf.head_channels
         if self.conf.has_detector:
-            self.convPa = nn.Conv(head, (3, 3), padding="SAME", name="convPa")
-            self.convPb = nn.Conv(65, (1, 1), name="convPb")
+            self.convPa = nn.Conv(head, (3, 3), padding="SAME", name="convPa", dtype=cdt)
+            self.convPb = nn.Conv(65, (1, 1), name="convPb", dtype=cdt)
         if self.conf.has_descriptor:
-            self.convDa = nn.Conv(head, (3, 3), padding="SAME", name="convDa")
-            self.convDb = nn.Conv(self.conf.descriptor_dim, (1, 1), name="convDb")
+            self.convDa = nn.Conv(head, (3, 3), padding="SAME", name="convDa", dtype=cdt)
+            self.convDb = nn.Conv(self.conf.descriptor_dim, (1, 1), name="convDb",
+                                  dtype=cdt)
 
     def _forward(self, data: dict) -> dict:
         image = data["image"]
@@ -85,6 +91,7 @@ class SuperPoint(BaseModel):
 
         if self.conf.has_detector:
             logits = self.convPb(nn.relu(self.convPa(features)))  # (B, H/8, W/8, 65)
+            logits = logits.astype(jnp.float32)
             probs = nn.softmax(logits, axis=-1)[..., :-1]  # drop dustbin
             # (B, Hc, Wc, 64) -> full-res heatmap (B, H, W)
             heat = probs.reshape(b, hc, wc, 8, 8)
@@ -113,7 +120,7 @@ class SuperPoint(BaseModel):
                 pred["heatmap"] = heat
 
         if self.conf.has_descriptor:
-            dense = self.convDb(nn.relu(self.convDa(features)))
+            dense = self.convDb(nn.relu(self.convDa(features))).astype(jnp.float32)
             dense = dense / (jnp.linalg.norm(dense, axis=-1, keepdims=True) + 1e-8)
             if self.conf.has_detector:
                 pred["descriptors"] = sample_descriptors(

@@ -94,12 +94,17 @@ class SelfBlock(nn.Module):
     dim: int
     num_heads: int
     attn_impl: str = "auto"
+    dtype: str = "float32"
+
+    @property
+    def _cdt(self):
+        return jnp.bfloat16 if self.dtype == "bf16" else jnp.float32
 
     @nn.compact
     def __call__(self, x, rot, mask=None):
         d, h = self.dim, self.num_heads
         hd = d // h
-        qkv = nn.Dense(3 * d, name="Wqkv")(x)
+        qkv = nn.Dense(3 * d, name="Wqkv", dtype=self._cdt)(x)
         b, n, _ = x.shape
         qkv = qkv.reshape(b, n, h, 3, hd).transpose(0, 2, 1, 4, 3)
         q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
@@ -108,16 +113,16 @@ class SelfBlock(nn.Module):
         k = apply_rotary(k, cos, sin)
         msg = attention(q, k, v, kv_mask=mask, implementation=self.attn_impl)
         msg = msg.transpose(0, 2, 1, 3).reshape(b, n, d)
-        msg = nn.Dense(d, name="out_proj")(msg)
+        msg = nn.Dense(d, name="out_proj", dtype=self._cdt)(msg)
         return x + self._ffn(x, msg)
 
     def _ffn(self, x, msg):
         d = self.dim
         y = jnp.concatenate([x, msg], axis=-1)
-        y = nn.Dense(2 * d, name="ffn_0")(y)
-        y = nn.LayerNorm(name="ffn_norm")(y)
+        y = nn.Dense(2 * d, name="ffn_0", dtype=self._cdt)(y)
+        y = nn.LayerNorm(name="ffn_norm", dtype=self._cdt)(y)
         y = nn.gelu(y)
-        y = nn.Dense(d, name="ffn_2")(y)
+        y = nn.Dense(d, name="ffn_2", dtype=self._cdt)(y)
         return y
 
 
@@ -129,14 +134,16 @@ class CrossBlock(nn.Module):
     dim: int
     num_heads: int
     attn_impl: str = "auto"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x0, x1, mask0=None, mask1=None):
         d, h = self.dim, self.num_heads
         hd = d // h
-        to_qk = nn.Dense(d, name="to_qk")
-        to_v = nn.Dense(d, name="to_v")
-        out_proj = nn.Dense(d, name="to_out")
+        cdt = jnp.bfloat16 if self.dtype == "bf16" else jnp.float32
+        to_qk = nn.Dense(d, name="to_qk", dtype=cdt)
+        to_v = nn.Dense(d, name="to_v", dtype=cdt)
+        out_proj = nn.Dense(d, name="to_out", dtype=cdt)
         b, n0, _ = x0.shape
         n1 = x1.shape[1]
 
@@ -149,20 +156,22 @@ class CrossBlock(nn.Module):
         m1 = attention(qk1, qk0, v0, kv_mask=mask0, implementation=self.attn_impl)
         m0 = out_proj(m0.transpose(0, 2, 1, 3).reshape(b, n0, d))
         m1 = out_proj(m1.transpose(0, 2, 1, 3).reshape(b, n1, d))
-        ffn = FFN(dim=d, name="ffn")
+        ffn = FFN(dim=d, dtype=self.dtype, name="ffn")
         return x0 + ffn(x0, m0), x1 + ffn(x1, m1)
 
 
 class FFN(nn.Module):
     dim: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, msg):
+        cdt = jnp.bfloat16 if self.dtype == "bf16" else jnp.float32
         y = jnp.concatenate([x, msg], axis=-1)
-        y = nn.Dense(2 * self.dim, name="ffn_0")(y)
-        y = nn.LayerNorm(name="ffn_norm")(y)
+        y = nn.Dense(2 * self.dim, name="ffn_0", dtype=cdt)(y)
+        y = nn.LayerNorm(name="ffn_norm", dtype=cdt)(y)
         y = nn.gelu(y)
-        y = nn.Dense(self.dim, name="ffn_2")(y)
+        y = nn.Dense(self.dim, name="ffn_2", dtype=cdt)(y)
         return y
 
 
@@ -172,10 +181,13 @@ class TransformerLayer(nn.Module):
     dim: int
     num_heads: int
     attn_impl: str = "auto"
+    dtype: str = "float32"
 
     def setup(self):
-        self.self0 = SelfBlock(self.dim, self.num_heads, self.attn_impl, name="self_attn")
-        self.cross = CrossBlock(self.dim, self.num_heads, self.attn_impl, name="cross_attn")
+        self.self0 = SelfBlock(self.dim, self.num_heads, self.attn_impl, self.dtype,
+                               name="self_attn")
+        self.cross = CrossBlock(self.dim, self.num_heads, self.attn_impl, self.dtype,
+                                name="cross_attn")
 
     def __call__(self, desc0, desc1, rot0, rot1, mask0=None, mask1=None):
         desc0 = self.self0(desc0, rot0, mask=mask0)
@@ -195,6 +207,9 @@ class LightGlue(BaseModel):
         "depth_confidence": -1,  # adaptive depth (eval-only); -1 = off
         "width_confidence": -1,  # adaptive width via masking; -1 = off
         "checkpointed": True,
+        "save_layer_outputs": True,  # stack per-layer descs for the deep-
+        # supervision loss; set False at inference to skip the stacking
+        "dtype": "float32",  # bf16 runs the transformer in bfloat16
         "weights": None,
         "loss": {
             "gamma": 1.0,
@@ -219,7 +234,7 @@ class LightGlue(BaseModel):
         if conf.checkpointed:
             layer = nn.remat(TransformerLayer, static_argnums=())
         self.layers = [
-            layer(d, conf.num_heads, attn_impl, name=f"transformers_{i}")
+            layer(d, conf.num_heads, attn_impl, conf.dtype, name=f"transformers_{i}")
             for i in range(conf.n_layers)
         ]
         self.assignments = [
@@ -254,11 +269,19 @@ class LightGlue(BaseModel):
         mask0 = data.get("keypoint_valid0")
         mask1 = data.get("keypoint_valid1")
         desc0, desc1, rot0, rot1 = self._encode(data)
+        if conf.dtype == "bf16":
+            desc0 = desc0.astype(jnp.bfloat16)
+            desc1 = desc1.astype(jnp.bfloat16)
+            rot0 = tuple(r.astype(jnp.bfloat16) for r in rot0)
+            rot1 = tuple(r.astype(jnp.bfloat16) for r in rot1)
         all0, all1 = [], []
         for i in range(conf.n_layers):
             desc0, desc1 = self.layers[i](desc0, desc1, rot0, rot1, mask0, mask1)
-            all0.append(desc0)
-            all1.append(desc1)
+            if conf.save_layer_outputs:
+                all0.append(desc0)
+                all1.append(desc1)
+        desc0 = desc0.astype(jnp.float32)
+        desc1 = desc1.astype(jnp.float32)
         scores, sim, z0, z1 = self.assignments[-1](desc0, desc1, mask0, mask1)
         matches = filter_matches(scores, conf.filter_threshold)
         pred = {
@@ -269,9 +292,10 @@ class LightGlue(BaseModel):
             "matching_scores1": matches["matching_scores1"],
             "matchability0": nn.sigmoid(z0),
             "matchability1": nn.sigmoid(z1),
-            "desc_layers0": jnp.stack(all0, axis=0),
-            "desc_layers1": jnp.stack(all1, axis=0),
         }
+        if conf.save_layer_outputs:
+            pred["desc_layers0"] = jnp.stack(all0, axis=0).astype(jnp.float32)
+            pred["desc_layers1"] = jnp.stack(all1, axis=0).astype(jnp.float32)
         # Invalid slots are unmatched by construction.
         if mask0 is not None:
             pred["matches0"] = jnp.where(mask0, pred["matches0"], -1)

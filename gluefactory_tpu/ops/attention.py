@@ -109,39 +109,41 @@ def attention_pallas(
 ) -> jnp.ndarray:
     b, h, nq, d = q.shape
     nk = k.shape[2]
+    scale = d**-0.5  # scale by the TRUE head dim, not the padded one
     nq_p = max(block_q, ((nq + block_q - 1) // block_q) * block_q)
     nk_p = max(128, ((nk + 127) // 128) * 128)
+    d_p = max(128, ((d + 127) // 128) * 128)  # lane-dim tiling (128)
     if kv_mask is None:
         kv_mask = jnp.ones((b, nk), dtype=jnp.int32)
     else:
         kv_mask = kv_mask.astype(jnp.int32)
-    qp = _pad_to(q.reshape(b * h, nq, d), nq_p, axis=1)
-    kp = _pad_to(k.reshape(b * h, nk, d), nk_p, axis=1)
-    vp = _pad_to(v.reshape(b * h, nk, d), nk_p, axis=1)
+    qp = _pad_to(_pad_to(q.reshape(b * h, nq, d), nq_p, axis=1), d_p, axis=2)
+    kp = _pad_to(_pad_to(k.reshape(b * h, nk, d), nk_p, axis=1), d_p, axis=2)
+    vp = _pad_to(_pad_to(v.reshape(b * h, nk, d), nk_p, axis=1), d_p, axis=2)
     maskp = _pad_to(kv_mask, nk_p, axis=1, value=0)
     maskp = jnp.repeat(maskp[:, None, :], h, axis=0).reshape(b * h, 1, nk_p)
 
     grid = (b * h, nq_p // block_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=d**-0.5),
+        functools.partial(_attn_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk_p, d), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk_p, d), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_p, d_p), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_p, d_p), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nk_p), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, d), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
+            (1, block_q, d_p), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, d_p), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * nq_p * nk_p * d,
+            flops=4 * b * h * nq_p * nk_p * d_p,
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
             transcendentals=b * h * nq_p * nk_p,
         ),
     )(qp, kp, vp, maskp)
-    return out[:, :nq].reshape(b, h, nq, d)
+    return out[:, :nq, :d].reshape(b, h, nq, d)
 
 
 # ---------------------------------------------------------------------------
