@@ -104,6 +104,29 @@ def _greedy_mutual_assignment(cost: jnp.ndarray, valid_pair: jnp.ndarray, th: fl
     return pos0, pos1, arg0, arg1
 
 
+def gt_line_matches_exact(
+    cost: "np.ndarray",
+    valid_pair: "np.ndarray",
+    th: float,
+) -> "np.ndarray":
+    """Host-side EXACT assignment via the native batched JV solver
+    (ops/lap.py, native/lap/lap.cpp) — the high-fidelity replacement for the
+    reference's per-image scipy Hungarian (gt_generation.py:367,515). Used in
+    offline GT generation; the jitted training path uses the greedy
+    mutual-max above. cost (B, L0, L1) numpy; returns m0 (B, L0) int32."""
+    import numpy as np
+
+    from ..ops.lap import batch_linear_assignment
+
+    BIG = 1e6
+    c = np.where(np.asarray(valid_pair), np.asarray(cost), BIG).astype(np.float32)
+    m0 = batch_linear_assignment(c)
+    b_idx = np.arange(c.shape[0])[:, None]
+    chosen_cost = c[b_idx, np.arange(c.shape[1])[None], np.clip(m0, 0, None)]
+    m0 = np.where((m0 >= 0) & (chosen_cost < th), m0, UNMATCHED)
+    return m0.astype(np.int32)
+
+
 def gt_line_matches_from_homography(
     lines0: jnp.ndarray,
     lines1: jnp.ndarray,

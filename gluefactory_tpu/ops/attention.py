@@ -42,6 +42,21 @@ def _on_tpu() -> bool:
         return False
 
 
+def _pallas_usable() -> bool:
+    """Pallas kernels hang when Mosaic compiles are proxied through a
+    remote-compile tunnel (axon PALLAS_AXON_REMOTE_COMPILE); fall back to the
+    XLA path there unless explicitly forced."""
+    import os
+
+    if os.environ.get("GFTPU_FORCE_PALLAS") == "1":
+        return True
+    if os.environ.get("GFTPU_DISABLE_PALLAS") == "1":
+        return False
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") == "1":
+        return False
+    return True
+
+
 def attention_xla(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -195,7 +210,9 @@ def attention(
     implementation: 'auto' (Pallas on TPU, XLA elsewhere) | 'pallas' | 'xla'.
     """
     if implementation == "auto":
-        implementation = "pallas" if (_HAS_PLTPU and _on_tpu()) else "xla"
+        implementation = (
+            "pallas" if (_HAS_PLTPU and _on_tpu() and _pallas_usable()) else "xla"
+        )
     if implementation == "pallas":
         return _attention_fused(q, k, v, kv_mask)
     return attention_xla(q, k, v, kv_mask)

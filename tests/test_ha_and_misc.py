@@ -1,0 +1,70 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gluefactory_tpu.geometry.homography_adaptation import (
+    homography_adaptation,
+    sample_homographies_np,
+    warp_dense,
+)
+
+rng = np.random.default_rng(23)
+
+
+def test_warp_dense_identity_and_shift():
+    field = jnp.asarray(rng.uniform(0, 1, (1, 16, 16)), jnp.float32)
+    H_id = jnp.eye(3)[None]
+    out, valid = warp_dense(field, H_id)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(field), atol=1e-5)
+    assert bool(valid.all())
+    # shift by +2 in x: out(x) = field(x - 2)
+    H_shift = jnp.asarray(np.array([[[1, 0, 2.0], [0, 1, 0], [0, 0, 1]]]), jnp.float32)
+    out, valid = warp_dense(field, H_shift)
+    np.testing.assert_allclose(
+        np.asarray(out[0, :, 2:]), np.asarray(field[0, :, :-2]), atol=1e-5
+    )
+    assert not bool(valid[0, :, :2].any())
+
+
+def test_homography_adaptation_identity_model():
+    """A model returning the image itself must aggregate back to the image
+    (up to interpolation) — validates warp/unwarp inverse consistency."""
+    # smooth image: warp+unwarp interpolation error on white noise would
+    # dominate, so low-pass the test field
+    import cv2
+
+    raw = rng.uniform(0, 1, (2, 32, 32)).astype(np.float32)
+    smooth = np.stack([cv2.GaussianBlur(x, (7, 7), 2.0) for x in raw])
+    img = jnp.asarray(smooth[..., None], jnp.float32)
+    Hs = jnp.asarray(sample_homographies_np(6, (32, 32), np.random.default_rng(0),
+                                            difficulty=0.3))
+
+    def fwd(images):
+        return {"heatmap": images[..., 0]}
+
+    out = homography_adaptation(img, Hs, fwd, field_keys=("heatmap",))
+    agg = np.asarray(out["heatmap"])
+    # center crop (borders lose coverage)
+    err = np.abs(agg[:, 8:-8, 8:-8] - np.asarray(img[..., 0])[:, 8:-8, 8:-8])
+    assert np.median(err) < 0.1, np.median(err)
+    assert np.asarray(out["heatmap_count"]).max() <= 6
+
+
+def test_timing_harness_runs():
+    from gluefactory_tpu.eval.timing_measurement import measure_pipeline
+    from gluefactory_tpu.models import build_model
+
+    model = build_model(
+        "two_view_pipeline",
+        {
+            "extractor": {
+                "name": "extractors.superpoint", "max_num_keypoints": 16,
+                "detection_threshold": 0.0,
+                "channels": [4, 4, 8, 8, 16, 16, 16, 16], "head_channels": 16,
+                "descriptor_dim": 16,
+            },
+            "matcher": {"name": "matchers.nearest_neighbor_matcher"},
+        },
+    )
+    out = measure_pipeline(model, batch=1, size=32, iters=2, warmup=1)
+    assert out["pairs_per_s"] > 0 and np.isfinite(out["ms_per_pair"])

@@ -1,0 +1,138 @@
+"""JPLDD + POLD2 + synthetic-shapes pipeline tests: the DF-based line path
+must recover drawn segments exactly when fed the exact GT fields."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gluefactory_tpu.datasets import get_dataset
+from gluefactory_tpu.geometry.lines import struct_line_dist
+from gluefactory_tpu.models import build_model
+
+rng = np.random.default_rng(31)
+
+
+def test_synthetic_shapes_gt_consistency():
+    ds = get_dataset("synthetic_shapes")({"image_size": 96, "train_size": 4, "num_workers": 0})
+    item = ds.get_dataset("train").getitem(0, rng)
+    df = item["gt_distance_field"]
+    segs = item["gt_segments"][item["gt_segment_valid"]]
+    assert df.shape == (96, 96) and np.isfinite(df).all()
+    # DF is ~0 on segment midpoints
+    mids = (segs[:, 0] + segs[:, 1]) / 2
+    mi = np.clip(np.round(mids).astype(int), 0, 95)
+    assert df[mi[:, 1], mi[:, 0]].max() < 1.0
+    # heatmap peaks at vertices
+    assert item["gt_heatmap"].max() == 1.0
+    af = item["gt_angle_field"]
+    assert ((af >= 0) & (af <= np.pi)).all()
+
+
+def test_pold2_extractor_recovers_segments_from_exact_df():
+    ds = get_dataset("synthetic_shapes")({"image_size": 96, "train_size": 4, "num_workers": 0})
+    item = ds.get_dataset("train").getitem(1, rng)
+    segs = item["gt_segments"][item["gt_segment_valid"]]
+    # feed exact segment endpoints as keypoints + exact DF
+    n_max = 64
+    endpoints = segs.reshape(-1, 2)[:n_max]
+    kpts = np.zeros((1, n_max, 2), np.float32)
+    valid = np.zeros((1, n_max), bool)
+    kpts[0, : len(endpoints)] = endpoints
+    valid[0, : len(endpoints)] = True
+    model = build_model(
+        "lines.pold2_extractor",
+        {"max_num_points": n_max, "max_num_lines": 128, "min_length": 5.0,
+         "mean_df_th": 1.0, "coarse_inlier_ratio": 0.85, "fine_inlier_ratio": 0.85},
+    )
+    data = {
+        "keypoints": jnp.asarray(kpts),
+        "keypoint_valid": jnp.asarray(valid),
+        "distance_field": jnp.asarray(item["gt_distance_field"])[None],
+    }
+    params = model.init(jax.random.key(0), data)
+    pred = model.apply(params, data)
+    vl = np.asarray(pred["valid_lines"][0])
+    lines = np.asarray(pred["lines"][0])[vl]
+    assert len(lines) >= len(segs) * 0.7, (len(lines), len(segs))
+    # every GT segment should have a recovered line nearby (struct dist)
+    d = np.asarray(
+        struct_line_dist(jnp.asarray(segs)[None], jnp.asarray(lines)[None])[0]
+    )
+    # most GT segments recovered (polygon chains can merge collinear
+    # candidates, so a perfect 1:1 recovery is not expected)
+    assert (d.min(axis=1) < 5.0).mean() >= 0.65
+
+
+def test_jpldd_forward_and_loss_and_grad():
+    ds = get_dataset("synthetic_shapes")(
+        {"image_size": 64, "train_size": 4, "train_batch_size": 2, "num_workers": 0}
+    )
+    loader = ds.get_data_loader("train")
+    batch = next(iter(loader))
+    from gluefactory_tpu.train import filter_batch
+
+    data = filter_batch(batch)
+    model = build_model(
+        "extractors.joint_point_line_extractor",
+        {"channels": [8, 16, 32, 64], "dim": 64, "max_num_keypoints": 64,
+         "detection_threshold": 0.0},
+    )
+    params = model.init(jax.random.key(0), data, method=model.forward_and_loss)
+    pred = model.apply(params, data)
+    assert pred["heatmap"].shape == (2, 64, 64)
+    assert pred["distance_field"].shape == (2, 64, 64)
+    assert pred["angle_field"].shape == (2, 64, 64)
+    assert pred["descriptors"].shape == (2, 64, 64)
+    losses, _ = model.apply(params, pred, data, method=model.loss)
+    for k in ("heatmap", "df", "af", "total"):
+        assert np.isfinite(np.asarray(losses[k])).all(), k
+
+    def loss_fn(p):
+        pr = model.apply(p, data)
+        l, _ = model.apply(p, pr, data, method=model.loss)
+        return jnp.mean(l["total"])
+
+    g = jax.grad(loss_fn)(params)
+    gn = float(jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(g))))
+    assert np.isfinite(gn) and gn > 0
+
+
+@pytest.mark.slow
+def test_jpldd_overfits_df():
+    """A few steps on one batch must clearly reduce the DF loss (the head can
+    learn): sanity for the training objective."""
+    import optax
+
+    ds = get_dataset("synthetic_shapes")(
+        {"image_size": 64, "train_size": 2, "train_batch_size": 2, "num_workers": 0}
+    )
+    batch = next(iter(ds.get_data_loader("train")))
+    from gluefactory_tpu.train import filter_batch
+
+    data = filter_batch(batch)
+    model = build_model(
+        "extractors.joint_point_line_extractor",
+        {"channels": [4, 8, 16, 32], "dim": 32, "max_num_keypoints": 32,
+         "detection_threshold": 0.0, "use_angle_field": False},
+    )
+    params = model.init(jax.random.key(0), data, method=model.forward_and_loss)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            pr = model.apply(p, data)
+            l, _ = model.apply(p, pr, data, method=model.loss)
+            return jnp.mean(l["df"]), l
+
+        (df_loss, l), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), opt, df_loss
+
+    losses = []
+    for _ in range(30):
+        params, opt, df_loss = step(params, opt)
+        losses.append(float(df_loss))
+    assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
