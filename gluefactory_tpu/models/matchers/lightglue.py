@@ -264,6 +264,12 @@ class LightGlue(BaseModel):
         rot1 = (jnp.repeat(jnp.cos(proj1), 2, -1), jnp.repeat(jnp.sin(proj1), 2, -1))
         return desc0, desc1, rot0, rot1
 
+    def confidence_threshold(self, layer_index: int) -> float:
+        """Layer-dependent early-exit threshold schedule
+        (reference lightglue.py:527-533)."""
+        threshold = 0.8 + 0.1 * jnp.exp(-4.0 * layer_index / self.conf.n_layers)
+        return jnp.clip(threshold, 0.0, 1.0)
+
     def _forward(self, data: dict) -> dict:
         conf = self.conf
         mask0 = data.get("keypoint_valid0")
@@ -274,12 +280,58 @@ class LightGlue(BaseModel):
             desc1 = desc1.astype(jnp.bfloat16)
             rot0 = tuple(r.astype(jnp.bfloat16) for r in rot0)
             rot1 = tuple(r.astype(jnp.bfloat16) for r in rot1)
+        # Adaptive inference (reference lightglue.py:460-508): on TPU both
+        # mechanisms are STATIC-SHAPE — width pruning masks confidently
+        # unmatchable tokens out of the attention KV sets instead of
+        # index_select compaction, and depth pruning freezes the descriptors
+        # once the exit criterion fires (XLA still executes the remaining
+        # layers but their outputs are gated; shapes never change).
+        adaptive_depth = conf.depth_confidence > 0
+        adaptive_width = conf.width_confidence > 0
+        b = desc0.shape[0]
+        n0 = desc0.shape[1]
+        n1 = desc1.shape[1]
+        act0 = mask0 if mask0 is not None else jnp.ones((b, n0), bool)
+        act1 = mask1 if mask1 is not None else jnp.ones((b, n1), bool)
+        stopped = jnp.zeros((b,), bool)
         all0, all1 = [], []
+        prune0 = jnp.ones((b, n0), jnp.int32)
+        prune1 = jnp.ones((b, n1), jnp.int32)
         for i in range(conf.n_layers):
-            desc0, desc1 = self.layers[i](desc0, desc1, rot0, rot1, mask0, mask1)
+            new0, new1 = self.layers[i](desc0, desc1, rot0, rot1, act0, act1)
+            if adaptive_depth or adaptive_width:
+                keep = ~stopped[:, None, None]
+                desc0 = jnp.where(keep, new0, desc0)
+                desc1 = jnp.where(keep, new1, desc1)
+            else:
+                desc0, desc1 = new0, new1
             if conf.save_layer_outputs:
                 all0.append(desc0)
                 all1.append(desc1)
+            if (adaptive_depth or adaptive_width) and i < conf.n_layers - 1:
+                c0, c1 = self.confidences[i](
+                    desc0.astype(jnp.float32), desc1.astype(jnp.float32)
+                )
+                th = self.confidence_threshold(i)
+                if adaptive_depth:
+                    confident = jnp.concatenate(
+                        [jnp.where(act0, (c0 > th), True),
+                         jnp.where(act1, (c1 > th), True)], axis=1
+                    )
+                    ratio = jnp.mean(confident.astype(jnp.float32), axis=1)
+                    stopped = stopped | (ratio > conf.depth_confidence)
+                if adaptive_width:
+                    m0 = self.assignments[i].get_matchability(
+                        desc0.astype(jnp.float32))
+                    m1 = self.assignments[i].get_matchability(
+                        desc1.astype(jnp.float32))
+                    # prune tokens that are confident AND unmatchable
+                    drop0 = (c0 > th) & (m0 < (1.0 - conf.width_confidence))
+                    drop1 = (c1 > th) & (m1 < (1.0 - conf.width_confidence))
+                    act0 = act0 & ~(drop0 & ~stopped[:, None])
+                    act1 = act1 & ~(drop1 & ~stopped[:, None])
+                    prune0 = prune0 + (~drop0).astype(jnp.int32)
+                    prune1 = prune1 + (~drop1).astype(jnp.int32)
         desc0 = desc0.astype(jnp.float32)
         desc1 = desc1.astype(jnp.float32)
         scores, sim, z0, z1 = self.assignments[-1](desc0, desc1, mask0, mask1)
@@ -296,6 +348,9 @@ class LightGlue(BaseModel):
         if conf.save_layer_outputs:
             pred["desc_layers0"] = jnp.stack(all0, axis=0).astype(jnp.float32)
             pred["desc_layers1"] = jnp.stack(all1, axis=0).astype(jnp.float32)
+        if conf.width_confidence > 0:
+            pred["prune0"] = prune0
+            pred["prune1"] = prune1
         # Invalid slots are unmatched by construction.
         if mask0 is not None:
             pred["matches0"] = jnp.where(mask0, pred["matches0"], -1)

@@ -146,3 +146,20 @@ def test_lightglue_trained_head_learns():
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_lightglue_adaptive_inference():
+    """Adaptive depth/width (mask-based): must run and keep plausible
+    matches; pruned tokens are reported via prune0/1."""
+    data, gt_m0 = make_match_data()
+    model = build_model(
+        "matchers.lightglue",
+        {**LG_CONF, "depth_confidence": 0.95, "width_confidence": 0.95,
+         "save_layer_outputs": False},
+    )
+    params = model.init(jax.random.key(0), data)
+    pred = model.apply(params, data)
+    assert pred["matches0"].shape == (B, N)
+    assert "prune0" in pred and pred["prune0"].shape == (B, N)
+    assert np.asarray(pred["prune0"]).min() >= 1
+    assert np.isfinite(np.asarray(pred["log_assignment"])).any()
