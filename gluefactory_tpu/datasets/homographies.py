@@ -92,6 +92,12 @@ class HomographyDataset(BaseDataset):
         },
         "photometric": {"name": "lg", "p": 0.95},
         "grayscale": False,
+        "load_features": {
+            "do": False,  # read cached per-image features and warp them
+            "path": "",  # h5 file (scripts/export_features.py output)
+            "padding_length": 512,
+            "min_inside": 8,  # min keypoints landing inside both views
+        },
     }
 
     def _init(self, conf):
@@ -178,6 +184,40 @@ class _HomographySplit:
         }
         return view
 
+    def _load_cached_features(self, name: str, view: dict, H: np.ndarray):
+        """Warp cached source-image features into this view
+        (reference homographies.py:_transform_keypoints:175). Fills
+        view['cache'] consumed by TwoViewPipeline(allow_no_extract=True)."""
+        import h5py
+
+        from ..geometry.homography import warp_points_np
+        from ..models.utils.misc import pad_to_length
+
+        conf = self.conf.load_features
+        if getattr(self, "_feat_file", None) is None:
+            self._feat_file = h5py.File(str(conf.path), "r")
+        grp = self._feat_file[name]
+        kpts = np.asarray(grp["keypoints"], np.float32)
+        desc = np.asarray(grp["descriptors"]).astype(np.float32)
+        scores = np.asarray(grp["keypoint_scores"], np.float32)
+        warped = warp_points_np(kpts, H)
+        s = int(self.conf.image_size)
+        inside = (warped >= 0).all(-1) & (warped <= s - 1).all(-1)
+        order = np.argsort(~inside)  # inside first, stable
+        L = int(conf.padding_length)
+        warped, valid_in = pad_to_length(warped[order], L)
+        desc, _ = pad_to_length(desc[order], L)
+        scores, _ = pad_to_length(scores[order], L)
+        valid = valid_in & np.concatenate(
+            [inside[order], np.zeros(max(0, L - len(order)), bool)]
+        )[:L]
+        view["cache"] = {
+            "keypoints": warped.astype(np.float32),
+            "descriptors": desc,
+            "keypoint_scores": scores,
+            "keypoint_valid": valid,
+        }
+
     def getitem(self, idx: int, rng: np.random.Generator) -> dict:
         image = self._source_image(idx, rng)
         view0 = self._warp_view(image, rng, identity=bool(self.conf.right_only))
@@ -185,12 +225,18 @@ class _HomographySplit:
         H0 = view0.pop("H_")
         H1 = view1.pop("H_")
         H_0to1 = (H1 @ np.linalg.inv(H0)).astype(np.float32)
+        name = f"synthetic/{idx}" if self.conf.synthetic else str(
+            self.parent.image_paths[idx].name if self.parent.image_paths else idx
+        )
+        if self.conf.load_features.do:
+            self._load_cached_features(name, view0, H0)
+            self._load_cached_features(name, view1, H1)
         return {
             "view0": view0,
             "view1": view1,
             "H_0to1": H_0to1,
             "idx": np.int32(idx),
-            "name": f"synthetic/{idx}" if self.conf.synthetic else str(idx),
+            "name": name,
         }
 
     def __getitem__(self, idx: int) -> dict:

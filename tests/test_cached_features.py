@@ -1,0 +1,63 @@
+"""Cached-feature training path: homographies dataset with load_features +
+TwoViewPipeline(allow_no_extract) — the stage-2 LightGlue training prep flow
+(reference SURVEY.md §3.5)."""
+
+import h5py
+import jax
+import numpy as np
+import pytest
+
+from gluefactory_tpu.datasets import get_dataset
+from gluefactory_tpu.models import build_model
+from gluefactory_tpu.train import filter_batch
+
+rng = np.random.default_rng(61)
+
+
+def test_homographies_with_cached_features(tmp_path):
+    # build a fake feature cache for the synthetic source images
+    cache = tmp_path / "feats.h5"
+    n_img, n_kp, d = 4, 64, 16
+    with h5py.File(str(cache), "w") as f:
+        for i in range(n_img):
+            g = f.create_group(f"synthetic/{i}")
+            kpts = rng.uniform(50, 750, (n_kp, 2)).astype(np.float32)
+            desc = rng.normal(size=(n_kp, d)).astype(np.float32)
+            desc /= np.linalg.norm(desc, axis=-1, keepdims=True)
+            g.create_dataset("keypoints", data=kpts)
+            g.create_dataset("descriptors", data=desc)
+            g.create_dataset("keypoint_scores", data=np.ones(n_kp, np.float32))
+    ds = get_dataset("homographies")(
+        {
+            "synthetic": True, "synthetic_size": n_img, "image_size": 128,
+            "train_batch_size": 2, "num_workers": 0,
+            "load_features": {"do": True, "path": str(cache), "padding_length": 64},
+        }
+    )
+    batch = next(iter(ds.get_data_loader("train")))
+    cache0 = batch["view0"]["cache"]
+    assert cache0["keypoints"].shape == (2, 64, 2)
+    assert cache0["descriptors"].shape == (2, 64, d)
+    assert cache0["keypoint_valid"].any()
+
+    # pipeline skips extraction and matches the cached descriptors
+    pipe = build_model(
+        "two_view_pipeline",
+        {
+            "matcher": {"name": "matchers.nearest_neighbor_matcher"},
+            "ground_truth": {"name": "matchers.homography_matcher"},
+            "allow_no_extract": True,
+            "run_gt_in_forward": True,
+        },
+    )
+    data = filter_batch(batch)
+    params = pipe.init(jax.random.key(0), data)
+    pred = pipe.apply(params, data)
+    m0 = np.asarray(pred["matches0"])
+    gt = np.asarray(pred["gt_matches0"])
+    both = (gt >= 0) & (m0 >= 0)
+    # descriptors are identical for true correspondences => NN must agree
+    # with the geometric GT wherever both are defined
+    if both.any():
+        assert (m0[both] == gt[both]).mean() > 0.9
+    assert (gt >= 0).sum() > 10  # enough overlap supervision exists
