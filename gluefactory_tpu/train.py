@@ -274,9 +274,16 @@ class JSONLWriter:
 
 def training(conf: Config, output_dir: Path, args=None):
     """(reference train.py:188-634)"""
+    from .parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     conf.save(output_dir / "config.yaml")
+    profile = args is not None and getattr(args, "profile", False)
+    if profile:
+        # (≙ torch.profiler schedule, reference train.py:361-369)
+        jax.profiler.start_trace(str(output_dir / "profile"))
 
     key = set_seed(int(conf.train.seed))
     writer = JSONLWriter(output_dir)
@@ -416,6 +423,9 @@ def training(conf: Config, output_dir: Path, args=None):
             )
     finally:
         signal.signal(signal.SIGINT, old_handler)
+        if profile:
+            jax.profiler.stop_trace()
+            logger.info("Wrote profiler trace to %s", output_dir / "profile")
     logger.info("Finished training at epoch %d iter %d", int(conf.train.epochs), iteration)
     return params
 
@@ -426,6 +436,8 @@ def main():
     parser.add_argument("--conf", type=str, default=None)
     parser.add_argument("--restore", action="store_true")
     parser.add_argument("--overfit", action="store_true")
+    parser.add_argument("--profile", action="store_true")
+    parser.add_argument("--no_log_capture", action="store_true")
     parser.add_argument("dotlist", nargs="*")
     args = parser.parse_args()
 
@@ -437,7 +449,14 @@ def main():
         conf["train.overfit"] = True
     conf.freeze()
     output_dir = TRAINING_PATH / args.experiment
-    training(conf, output_dir, args)
+    if args.no_log_capture or jax.process_index() != 0:
+        training(conf, output_dir, args)
+    else:
+        from .utils.stdout_capturing import capture_outputs
+
+        output_dir.mkdir(parents=True, exist_ok=True)
+        with capture_outputs(output_dir / "log.txt"):
+            training(conf, output_dir, args)
 
 
 if __name__ == "__main__":

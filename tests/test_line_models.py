@@ -1,0 +1,126 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gluefactory_tpu.datasets import get_dataset
+from gluefactory_tpu.models import build_model
+from gluefactory_tpu.train import filter_batch
+
+rng = np.random.default_rng(91)
+
+
+def test_homographies_point_line_dataset():
+    ds = get_dataset("homographies_point_line")(
+        {"image_size": 96, "source_size": 128, "train_size": 4,
+         "train_batch_size": 2, "num_workers": 0, "compute_fields": True}
+    )
+    batch = next(iter(ds.get_data_loader("train")))
+    assert batch["view0"]["lines"].shape == (2, 24, 2, 2)
+    assert batch["view0"]["gt_distance_field"].shape == (2, 96, 96)
+    assert batch["gt_line_matches0"].shape == (2, 24)
+    # GT line correspondence: warped view-0 line i must be near view-1 line i
+    from gluefactory_tpu.geometry.lines import struct_line_dist
+    from gluefactory_tpu.geometry.homography import warp_lines
+
+    H = jnp.asarray(batch["H_0to1"])
+    l0 = jnp.asarray(batch["view0"]["lines"])
+    l1 = jnp.asarray(batch["view1"]["lines"])
+    gl = np.asarray(batch["gt_line_matches0"])
+    warped, wvalid = warp_lines(l0, H, jnp.asarray(batch["view1"]["image_size"]))
+    D = np.asarray(struct_line_dist(warped, l1))
+    for b in range(2):
+        for i in np.nonzero(gl[b] >= 0)[0][:5]:
+            assert D[b, i, gl[b, i]] < 8.0, (b, i, D[b, i, gl[b, i]])
+
+
+def test_gluestick_trains_on_point_line_data():
+    """Full point+line training step: wireframe extractor on synthetic pair
+    data with GT line matches -> GlueStick loss finite with gradients."""
+    ds = get_dataset("homographies_point_line")(
+        {"image_size": 96, "source_size": 128, "train_size": 2,
+         "train_batch_size": 1, "num_workers": 0}
+    )
+    batch = next(iter(ds.get_data_loader("train")))
+    data = filter_batch(batch)
+    # drop the dataset-slot line GT: the pipeline's GT oracle recomputes
+    # matches between the DETECTED lines (different slot layout)
+    data = {k: v for k, v in data.items() if not k.startswith("gt_line")}
+    pipe = build_model(
+        "two_view_pipeline",
+        {
+            "extractor": {
+                "name": "lines.wireframe",
+                "point_extractor": {
+                    "name": "extractors.superpoint", "max_num_keypoints": 32,
+                    "detection_threshold": 0.0, "dense_outputs": True,
+                    "channels": [8, 8, 16, 16, 32, 32, 32, 32],
+                    "head_channels": 32, "descriptor_dim": 32,
+                },
+                "line_extractor": {"name": "lines.lsd", "max_num_lines": 16},
+            },
+            "matcher": {
+                "name": "matchers.gluestick", "input_dim": 32,
+                "descriptor_dim": 32, "n_layers": 2, "num_heads": 2,
+            },
+            "ground_truth": {
+                "name": "matchers.homography_matcher", "use_lines": True,
+            },
+            "run_gt_in_forward": True,
+        },
+    )
+    params = pipe.init(jax.random.key(0), data, method=pipe.forward_and_loss)
+    pred = pipe.apply(params, data)
+    losses, _ = pipe.apply(params, pred, data, method=pipe.loss)
+    assert np.isfinite(np.asarray(losses["total"])).all()
+
+
+def test_deeplsd_model():
+    ds = get_dataset("synthetic_shapes")(
+        {"image_size": 64, "train_size": 2, "train_batch_size": 1, "num_workers": 0}
+    )
+    batch = next(iter(ds.get_data_loader("train")))
+    data = filter_batch(batch)
+    model = build_model(
+        "lines.deeplsd",
+        {"channels": [8, 16, 32], "max_num_candidates": 64,
+         "line_extractor": {"name": "lines.pold2_extractor",
+                            "max_num_points": 64, "max_num_lines": 64}},
+    )
+    params = model.init(jax.random.key(0), data, method=model.forward_and_loss)
+    pred = model.apply(params, data)
+    assert pred["distance_field"].shape == (1, 64, 64)
+    assert pred["lines"].shape[1] == 64
+    losses, _ = model.apply(params, pred, data, method=model.loss)
+    assert np.isfinite(np.asarray(losses["total"])).all()
+
+
+def test_pold2_mlp_learns():
+    import optax
+
+    ds = get_dataset("pold2_mlp_dataset")(
+        {"image_size": 96, "train_size": 8, "train_batch_size": 4, "num_workers": 0}
+    )
+    batch = next(iter(ds.get_data_loader("train")))
+    data = filter_batch(batch)
+    model = build_model("lines.pold2_mlp", {"hidden": [32, 16]})
+    params = model.init(jax.random.key(0), data, method=model.forward_and_loss)
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            pr = model.apply(p, data)
+            l, m = model.apply(p, pr, data, method=model.loss)
+            return jnp.mean(l["total"]), m
+
+        (loss, m), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        upd, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), opt, loss, m
+
+    accs = []
+    for _ in range(40):
+        params, opt, loss, m = step(params, opt)
+        accs.append(float(np.asarray(m["accuracy"]).mean()))
+    assert accs[-1] > 0.9, accs[-1]
