@@ -217,7 +217,7 @@ def bundle_adjust_sharded(
     per-shard Hessian blocks and the point-sliced Schur cross-term are reduced
     with psum. Obs count must be padded to a multiple of the axis size
     (pad with obs_valid=False)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]

@@ -280,6 +280,17 @@ def training(conf: Config, output_dir: Path, args=None):
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     conf.save(output_dir / "config.yaml")
+    # code snapshot for reproducibility (reference train.py:689-692)
+    if jax.process_index() == 0 and not (output_dir / "code_snapshot").exists():
+        import shutil
+
+        try:
+            shutil.copytree(
+                Path(__file__).parent, output_dir / "code_snapshot",
+                ignore=shutil.ignore_patterns("__pycache__", "*.pyc"),
+            )
+        except OSError:
+            pass
     profile = args is not None and getattr(args, "profile", False)
     if profile:
         # (≙ torch.profiler schedule, reference train.py:361-369)

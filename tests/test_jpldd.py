@@ -75,7 +75,7 @@ def test_jpldd_forward_and_loss_and_grad():
     data = filter_batch(batch)
     model = build_model(
         "extractors.joint_point_line_extractor",
-        {"channels": [8, 16, 32, 64], "dim": 64, "max_num_keypoints": 64,
+        {"channels": [4, 8, 16, 32], "dim": 32, "max_num_keypoints": 32,
          "detection_threshold": 0.0},
     )
     params = model.init(jax.random.key(0), data, method=model.forward_and_loss)
@@ -83,7 +83,7 @@ def test_jpldd_forward_and_loss_and_grad():
     assert pred["heatmap"].shape == (2, 64, 64)
     assert pred["distance_field"].shape == (2, 64, 64)
     assert pred["angle_field"].shape == (2, 64, 64)
-    assert pred["descriptors"].shape == (2, 64, 64)
+    assert pred["descriptors"].shape == (2, 32, 32)
     losses, _ = model.apply(params, pred, data, method=model.loss)
     for k in ("heatmap", "df", "af", "total"):
         assert np.isfinite(np.asarray(losses[k])).all(), k

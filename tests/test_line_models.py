@@ -124,3 +124,39 @@ def test_pold2_mlp_learns():
         params, opt, loss, m = step(params, opt)
         accs.append(float(np.asarray(m["accuracy"]).mean()))
     assert accs[-1] > 0.9, accs[-1]
+
+
+def test_lbd_descriptor_and_matcher():
+    """LBD descriptors match identical lines in identical images."""
+    from gluefactory_tpu.datasets.synthetic_shapes import draw_scene
+
+    g = np.random.default_rng(5)
+    img, segments, _ = draw_scene(g, 96, 8)
+    L = 8
+    lines = np.zeros((L, 2, 2), np.float32)
+    lv = np.zeros((L,), bool)
+    n = min(len(segments), L)
+    lines[:n], lv[:n] = segments[:n], True
+    desc_model = build_model("lines.lbd", {})
+    data = {"image": jnp.asarray(img)[None], "lines": jnp.asarray(lines)[None],
+            "valid_lines": jnp.asarray(lv)[None]}
+    params = desc_model.init(jax.random.key(0), data)
+    d0 = desc_model.apply(params, data)["line_descriptors"]
+    # permuted second view
+    perm = g.permutation(n)
+    lines1 = lines.copy()
+    lines1[:n] = lines[perm]
+    data1 = {**data, "lines": jnp.asarray(lines1)[None]}
+    d1 = desc_model.apply(params, data1)["line_descriptors"]
+    from gluefactory_tpu.models.lines.lbd import LineMatcherLBD
+
+    matcher = LineMatcherLBD.from_conf({})
+    mdata = {
+        "line_descriptors0": d0, "line_descriptors1": d1,
+        "valid_lines0": jnp.asarray(lv)[None], "valid_lines1": jnp.asarray(lv)[None],
+    }
+    mparams = matcher.init(jax.random.key(0), mdata)
+    pred = matcher.apply(mparams, mdata)
+    m0 = np.asarray(pred["line_matches0"][0])[:n]
+    expected = np.argsort(perm)
+    assert (m0 == expected).mean() > 0.8, (m0, expected)

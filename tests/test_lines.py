@@ -107,10 +107,10 @@ def test_wireframe_extractor():
     assert vj[idx.reshape(L, 2)[vl]].all()
 
 
-GS_CONF = {"input_dim": 32, "descriptor_dim": 32, "n_layers": 2, "num_heads": 2}
+GS_CONF = {"input_dim": 32, "descriptor_dim": 32, "n_layers": 1, "num_heads": 2}
 
 
-def _gluestick_data(B=2, N=24, L=6, D=32):
+def _gluestick_data(B=2, N=16, L=4, D=32):
     n_junc = 2 * L
     data = {
         "keypoints0": jnp.asarray(rng.uniform(0, 100, (B, N, 2)), jnp.float32),
@@ -134,7 +134,7 @@ def _gluestick_data(B=2, N=24, L=6, D=32):
 
 
 def test_gluestick_forward_and_loss():
-    B, N, L = 2, 24, 6
+    B, N, L = 2, 16, 4
     data = _gluestick_data(B, N, L)
     model = build_model("matchers.gluestick", GS_CONF)
     params = model.init(jax.random.key(0), data)

@@ -105,3 +105,36 @@ def test_relative_pose_ransac_with_outliers():
     r_err, t_err = relative_pose_error(T, T_est.R, T_est.t)
     assert float(r_err) < 2.0, float(r_err)
     assert float(t_err) < 3.0, float(t_err)
+
+
+def test_hybrid_point_line_homography():
+    """Hybrid estimator recovers H from points + lines; with very few points
+    the line constraints must visibly help."""
+    H_gt = np.array([[1.1, 0.05, 15.0], [-0.02, 0.95, -8.0], [0.0, 0.0, 1.0]], np.float32)
+    g = np.random.default_rng(12)
+    n_pts = 12
+    k0 = g.uniform(50, 450, size=(n_pts, 2)).astype(np.float32)
+    k1 = np.array(warp_points(jnp.asarray(k0)[None], jnp.asarray(H_gt)[None])[0])
+    k1 += g.normal(size=k1.shape) * 0.5
+    k1[:4] += 50  # some point outliers
+    n_lines = 20
+    a = g.uniform(50, 450, size=(n_lines, 2)).astype(np.float32)
+    d = g.uniform(-80, 80, size=(n_lines, 2)).astype(np.float32)
+    segs0 = np.stack([a, a + d], axis=1)
+    segs1 = np.array(
+        warp_points(jnp.asarray(segs0.reshape(-1, 2))[None], jnp.asarray(H_gt)[None])[0]
+    ).reshape(n_lines, 2, 2)
+    segs1 += g.normal(size=segs1.shape) * 0.3
+    est = load_estimator("homography", "hybrid_ransac")(
+        {"ransac_th": 3.0, "num_hypotheses": 512}
+    )
+    out = est({
+        "m_kpts0": jnp.asarray(k0), "m_kpts1": jnp.asarray(k1),
+        "m_lines0": jnp.asarray(segs0), "m_lines1": jnp.asarray(segs1),
+    })
+    assert out["success"]
+    err = homography_corner_error(
+        out["M_0to1"][None], jnp.asarray(H_gt)[None], jnp.array([[640.0, 480.0]])
+    )
+    assert float(err[0]) < 3.0, float(err[0])
+    assert np.asarray(out["line_inliers"]).sum() > n_lines * 0.7

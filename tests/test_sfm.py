@@ -177,3 +177,37 @@ def test_pose_graph_closes_loop():
     assert ate_after < 0.5 * ate_before, (ate_before, ate_after)
     costs = np.asarray(info["costs"])
     assert costs[-1] < costs[0]
+
+
+def test_full_sfm_pipeline():
+    """matches -> incremental poses -> tracks -> triangulation -> BA on a
+    synthetic sequence: recovered trajectory must align with GT up to the
+    global scale gauge (first-baseline normalization)."""
+    from gluefactory_tpu.sfm.pipeline import run_sfm
+
+    M, P = 5, 150
+    cam, poses_gt, pts_gt, obs_cam, obs_pt, uv, valid = make_ba_scene(M=M, P=P, noise_px=0.3)
+    uv = np.asarray(uv).reshape(M, P, 2)
+    vis = np.asarray(valid).reshape(M, P)
+    # every view observes every point: keypoint k of view v IS point k
+    matches = {}
+    for i in range(M - 1):
+        m = np.arange(P)
+        m[~(vis[i] & vis[i + 1])] = -1
+        matches[(i, i + 1)] = m
+    out = run_sfm(uv, vis, matches, cam, ransac_th=2.0, num_hypotheses=512,
+                  ba_iters=15)
+    # reconstruction lives in camera-0's frame with a free global scale:
+    # evaluate ATE after Sim(3) (Umeyama) alignment, normalized by the
+    # trajectory extent
+    from gluefactory_tpu.sfm.alignment import absolute_trajectory_error, camera_centers
+
+    extent = np.linalg.norm(
+        camera_centers(poses_gt) - camera_centers(poses_gt).mean(0), axis=-1
+    ).max()
+    ate_init = absolute_trajectory_error(out["poses_init"], poses_gt) / extent
+    ate_opt = absolute_trajectory_error(out["poses"], poses_gt) / extent
+    assert ate_opt < 0.02, (ate_init, ate_opt)
+    assert ate_opt <= ate_init + 1e-6, (ate_init, ate_opt)
+    costs = np.asarray(out["ba_info"]["costs"])
+    assert costs[-1] <= costs[0]
