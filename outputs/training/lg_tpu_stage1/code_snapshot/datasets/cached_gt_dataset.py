@@ -1,0 +1,122 @@
+"""Single-view dataset with cached pseudo-ground-truth fields — the unified
+replacement for the fork's per-source cached-GT datasets
+(reference: gluefactory/datasets/{scannet.py:21, minidepth.py:18,
+oxford_paris_mini_1view_jpldd.py:18} — all three read an image folder plus
+HDF5 caches of homography-adaptation heatmaps and DeepLSD DF/AF fields; here
+one configurable dataset covers them, with caches produced by
+scripts/generate_gt.py).
+
+Sample: image + any subset of gt_heatmap / gt_distance_field /
+gt_angle_field read from the cache file group named like the image's
+relative path."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import ClassVar
+
+import h5py
+import numpy as np
+
+from ..settings import DATA_PATH
+from ..utils.image import ImagePreprocessor, read_image
+from .augmentations import augmentations
+from .base_dataset import BaseDataset
+
+
+class CachedGTDataset(BaseDataset):
+    default_conf: ClassVar[dict] = {
+        "name": "cached_gt_dataset",
+        "images": "???",  # image root dir
+        "gt_file": "???",  # hdf5 with per-image groups
+        "fields": ["heatmap", "distance_field", "angle_field"],
+        "glob": ["*.jpg", "*.png", "*.jpeg", "*.ppm"],
+        "preprocessing": {"resize": 320, "side": "long", "square_pad": True},
+        "photometric": {"name": "lg", "p": 0.5},
+        "val_size": 100,
+        "train_batch_size": 4,
+    }
+
+    def _init(self, conf):
+        root = Path(conf.images)
+        if not root.is_absolute():
+            root = DATA_PATH / conf.images
+        gt_path = Path(conf.gt_file)
+        if not gt_path.is_absolute():
+            gt_path = DATA_PATH / conf.gt_file
+        if not root.exists() or not gt_path.exists():
+            raise FileNotFoundError(f"missing {root} or {gt_path}")
+        self.root = root
+        self.gt_path = gt_path
+        with h5py.File(str(gt_path), "r") as f:
+            cached = set()
+            f.visit(lambda n: cached.add(n) if isinstance(f.get(n), h5py.Group) else None)
+        self.paths = sorted(
+            p for pat in conf.glob for p in root.glob("**/" + pat)
+            if str(p.relative_to(root)) in cached or p.stem in cached
+        )
+        if not self.paths:
+            raise FileNotFoundError("no images with cached GT found")
+        self.preprocessor = ImagePreprocessor(conf.preprocessing.to_dict())
+        self.photometric = augmentations[conf.photometric.name]()
+
+    def get_dataset(self, split: str):
+        return _CachedSplit(self, split)
+
+
+class _CachedSplit:
+    def __init__(self, parent: CachedGTDataset, split: str):
+        self.parent = parent
+        self.conf = parent.conf
+        n_val = int(self.conf.val_size)
+        if split == "val":
+            self.paths = parent.paths[:n_val]
+        elif split == "train":
+            self.paths = parent.paths[n_val:]
+        else:
+            self.paths = parent.paths
+        self.split = split
+        self._file = None
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _gt(self, key: str):
+        if self._file is None:
+            self._file = h5py.File(str(self.parent.gt_path), "r")
+        return self._file[key]
+
+    def getitem(self, idx: int, rng: np.random.Generator) -> dict:
+        path = self.paths[idx]
+        rel = str(path.relative_to(self.parent.root))
+        img = read_image(path).astype(np.float32) / 255.0
+        if self.split == "train" and rng.uniform() < float(self.conf.photometric.p):
+            img = self.parent.photometric(img, rng)
+        view = self.parent.preprocessor((img * 255).astype(np.uint8))
+        grp = self._gt(rel if rel in self._file_keys() else path.stem)
+        h, w = view["image"].shape[:2]
+        out = {**view, "idx": np.int32(idx), "name": rel}
+        import cv2
+
+        for field in self.conf.fields:
+            if field not in grp:
+                continue
+            arr = np.asarray(grp[field], np.float32)
+            vw, vh = view["image_size"].astype(int)
+            interp = cv2.INTER_NEAREST if field != "heatmap" else cv2.INTER_LINEAR
+            arr_r = cv2.resize(arr, (int(vw), int(vh)), interpolation=interp)
+            canvas = np.zeros((h, w), np.float32)
+            canvas[: arr_r.shape[0], : arr_r.shape[1]] = arr_r
+            out[f"gt_{field}"] = canvas
+        return out
+
+    def _file_keys(self):
+        if self._file is None:
+            self._file = h5py.File(str(self.parent.gt_path), "r")
+        return self._file
+
+    def __getitem__(self, idx):
+        return self.getitem(idx, np.random.default_rng(idx))
+
+
+__main_dataset__ = CachedGTDataset

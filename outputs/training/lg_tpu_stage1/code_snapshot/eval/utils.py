@@ -1,0 +1,187 @@
+"""Per-pair evaluation primitives (reference: gluefactory/eval/utils.py).
+
+These run per cached prediction pair: matching precision under GT geometry,
+DLT / robust homography estimation, robust relative pose, and the AUC
+aggregation with best-threshold selection by mAA
+(reference eval/utils.py:40-224)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.epipolar import generalized_epi_dist, relative_pose_error
+from ..geometry.homography import (
+    compute_homography,
+    homography_corner_error,
+    sym_homography_error,
+)
+from ..geometry.wrappers import Camera, Pose
+from ..robust_estimators import load_estimator
+from ..utils.tools import AUCMetric
+
+
+def get_matches_scores(kpts0, kpts1, matches0, mscores0):
+    """Gather matched keypoint pairs (m0 codes: -1 unmatched)."""
+    m0 = np.asarray(matches0)
+    valid = m0 > -1
+    idx = np.clip(m0, 0, None)
+    pts0 = np.asarray(kpts0)
+    pts1 = np.asarray(kpts1)[idx]
+    scores = np.asarray(mscores0)
+    return pts0, pts1, scores, valid
+
+
+def eval_matches_homography(data: dict, pred: dict) -> dict:
+    """(reference eval/utils.py:40-69 homography variant)"""
+    H_gt = jnp.asarray(data["H_0to1"])
+    kpts0, kpts1 = pred["keypoints0"], pred["keypoints1"]
+    pts0, pts1, scores, valid = get_matches_scores(
+        kpts0, kpts1, pred["matches0"], pred["matching_scores0"]
+    )
+    err = np.asarray(
+        sym_homography_error(jnp.asarray(pts0)[None], jnp.asarray(pts1)[None], H_gt[None])
+    )[0]
+    err_m = err[valid]
+    results = {}
+    results["num_matches"] = int(valid.sum())
+    results["num_keypoints"] = int(
+        np.asarray(pred.get("keypoint_valid0", np.ones(len(pts0)))).sum()
+    )
+    for th in [1, 3, 5]:
+        results[f"prec@{th}px"] = float((err_m < th).mean()) if valid.any() else np.nan
+    results["match_error_mean"] = float(err_m.mean()) if valid.any() else np.nan
+    return results
+
+
+def eval_matches_epipolar(data: dict, pred: dict) -> dict:
+    """(reference eval/utils.py:40-69)"""
+    camera0: Camera = data["camera0"]
+    camera1: Camera = data["camera1"]
+    T_0to1: Pose = data["T_0to1"]
+    pts0, pts1, scores, valid = get_matches_scores(
+        pred["keypoints0"], pred["keypoints1"], pred["matches0"], pred["matching_scores0"]
+    )
+    epi_err = np.asarray(
+        generalized_epi_dist(
+            jnp.asarray(pts0)[None],
+            jnp.asarray(pts1)[None],
+            camera0,
+            camera1,
+            T_0to1,
+            all_pairs=False,
+            essential=True,
+        )
+    )[0]
+    epi_m = epi_err[valid]
+    results = {"num_matches": int(valid.sum())}
+    for th in [1e-4, 5e-4, 1e-3]:
+        results[f"epi_prec@{th:.0e}"] = (
+            float((epi_m < th).mean()) if valid.any() else np.nan
+        )
+    return results
+
+
+def eval_homography_dlt(data: dict, pred: dict) -> dict:
+    """Weighted DLT homography from the matches (reference eval/utils.py:176-196)."""
+    H_gt = jnp.asarray(data["H_0to1"])
+    pts0, pts1, scores, valid = get_matches_scores(
+        pred["keypoints0"], pred["keypoints1"], pred["matches0"], pred["matching_scores0"]
+    )
+    results = {}
+    if valid.sum() < 4:
+        results["H_error_dlt"] = np.nan
+        return results
+    w = (scores * valid).astype(np.float32)
+    H = compute_homography(
+        jnp.asarray(pts0, jnp.float32)[None], jnp.asarray(pts1, jnp.float32)[None],
+        jnp.asarray(w)[None],
+    )
+    size = data.get("view0", {}).get("image_size")
+    if size is None:
+        size = np.array([640.0, 480.0])
+    err = homography_corner_error(H, H_gt[None], jnp.asarray(size).reshape(1, 2))
+    err = float(np.asarray(err)[0])
+    results["H_error_dlt"] = err if np.isfinite(err) else np.nan
+    return results
+
+
+def eval_homography_robust(data: dict, pred: dict, conf) -> dict:
+    """(reference eval/utils.py:132-173)"""
+    H_gt = jnp.asarray(data["H_0to1"])
+    pts0, pts1, scores, valid = get_matches_scores(
+        pred["keypoints0"], pred["keypoints1"], pred["matches0"], pred["matching_scores0"]
+    )
+    results = {}
+    estimator = load_estimator("homography", conf.get("estimator", "ransac"))(conf)
+    est = estimator(
+        {
+            "m_kpts0": jnp.asarray(pts0, jnp.float32),
+            "m_kpts1": jnp.asarray(pts1, jnp.float32),
+            "valid": jnp.asarray(valid),
+        }
+    )
+    if not est["success"]:
+        results["H_error_ransac"] = np.nan
+        results["ransac_inl"] = 0
+        results["ransac_inl%"] = 0.0
+        return results
+    size = data.get("view0", {}).get("image_size")
+    if size is None:
+        size = np.array([640.0, 480.0])
+    err = homography_corner_error(est["M_0to1"][None], H_gt[None], jnp.asarray(size).reshape(1, 2))
+    inl = np.asarray(est["inliers"])
+    results["H_error_ransac"] = float(np.asarray(err)[0])
+    results["ransac_inl"] = int(inl.sum())
+    results["ransac_inl%"] = float(inl.sum() / max(valid.sum(), 1))
+    return results
+
+
+def eval_relative_pose_robust(data: dict, pred: dict, conf) -> dict:
+    """(reference eval/utils.py:94-129)"""
+    T_gt: Pose = data["T_0to1"]
+    pts0, pts1, scores, valid = get_matches_scores(
+        pred["keypoints0"], pred["keypoints1"], pred["matches0"], pred["matching_scores0"]
+    )
+    estimator = load_estimator("relative_pose", conf.get("estimator", "ransac"))(conf)
+    est = estimator(
+        {
+            "m_kpts0": jnp.asarray(pts0, jnp.float32),
+            "m_kpts1": jnp.asarray(pts1, jnp.float32),
+            "camera0": data["camera0"],
+            "camera1": data["camera1"],
+            "valid": jnp.asarray(valid),
+        }
+    )
+    results = {}
+    if not est["success"]:
+        results["rel_pose_error"] = np.nan
+        results["ransac_inl"] = 0
+        results["ransac_inl%"] = 0.0
+        return results
+    M: Pose = est["M_0to1"]
+    r_err, t_err = relative_pose_error(T_gt, M.R, M.t)
+    results["rel_pose_error"] = float(max(np.asarray(r_err), np.asarray(t_err)))
+    inl = np.asarray(est["inliers"])
+    results["ransac_inl"] = int(inl.sum())
+    results["ransac_inl%"] = float(inl.sum() / max(valid.sum(), 1))
+    return results
+
+
+def eval_poses(pose_results: dict, auc_ths: list, key: str, unit: str = "°") -> dict:
+    """Aggregate per-threshold pose errors into AUCs and pick the best
+    threshold by mAA (reference eval/utils.py:199-224)."""
+    pose_aucs = {}
+    best_th = -1
+    for th, results_i in pose_results.items():
+        errs = [r[key] for r in results_i]
+        errs = [1e6 if (e is None or not np.isfinite(e)) else e for e in errs]
+        pose_aucs[th] = AUCMetric(auc_ths, errs).compute()
+    mAAs = {k: np.mean(v) for k, v in pose_aucs.items()}
+    best_th = max(mAAs, key=mAAs.get)
+    summaries = {}
+    for i, ath in enumerate(auc_ths):
+        summaries[f"{key}@{ath}{unit}"] = round(pose_aucs[best_th][i] * 100, 3)
+    summaries[f"{key}_mAA"] = round(mAAs[best_th] * 100, 3)
+    summaries["best_ransac_th"] = best_th
+    return summaries

@@ -104,65 +104,6 @@ def _greedy_mutual_assignment(cost: jnp.ndarray, valid_pair: jnp.ndarray, th: fl
     return pos0, pos1, arg0, arg1
 
 
-def gt_line_matches_from_pose_depth(
-    lines0: jnp.ndarray,
-    lines1: jnp.ndarray,
-    valid0: jnp.ndarray,
-    valid1: jnp.ndarray,
-    depth0: jnp.ndarray,
-    depth1: jnp.ndarray,
-    camera0,
-    camera1,
-    T_0to1,
-    n_samples: int = 16,
-    dist_th: float = 5.0,
-    overlap_th: float = 0.2,
-    min_visible: float = 0.5,
-) -> dict:
-    """Depth+pose line supervision (reference gt_generation.py:208-409):
-    sample points along each view-0 segment, reproject them through the depth
-    map and relative pose, and match to view-1 segments by mean perpendicular
-    distance with an overlap gate. Segments whose samples are mostly
-    invisible (no depth / out of view) are IGNORE."""
-    from .depth import project, sample_depth
-
-    b, l0 = lines0.shape[:2]
-    l1 = lines1.shape[1]
-    pts0 = sample_points_on_lines(lines0, n_samples).reshape(b, l0 * n_samples, 2)
-    d0, dvalid = sample_depth(pts0, depth0)
-    pts0_in1, pvalid = project(
-        pts0, d0, depth1, camera0, camera1, T_0to1, dvalid, ccth=0.05
-    )
-    pvalid = pvalid.reshape(b, l0, n_samples)
-    pts0_in1 = pts0_in1.reshape(b, l0, n_samples, 2)
-    vis_frac = pvalid.mean(axis=-1)
-    visible0 = (vis_frac >= min_visible) & valid0
-    # mean distance of VISIBLE reprojected samples to each candidate segment
-    d = point_to_seg_dist(pts0_in1.reshape(b, l0 * n_samples, 2), lines1)
-    d = d.reshape(b, l0, n_samples, l1)
-    w = pvalid[..., None].astype(d.dtype)
-    mean_d = jnp.sum(d * w, axis=2) / jnp.maximum(jnp.sum(w, axis=2), 1.0)
-    # overlap of the visible reprojected span with the candidate
-    first = jnp.argmax(pvalid, axis=-1)
-    last = n_samples - 1 - jnp.argmax(pvalid[..., ::-1], axis=-1)
-    ep0 = jnp.take_along_axis(pts0_in1, first[..., None, None].repeat(2, -1), axis=2)[:, :, 0]
-    ep1 = jnp.take_along_axis(pts0_in1, last[..., None, None].repeat(2, -1), axis=2)[:, :, 0]
-    warped_span = jnp.stack([ep0, ep1], axis=-2)
-    ov = overlap_fraction(warped_span, lines1)
-    valid_pair = visible0[..., :, None] & valid1[..., None, :] & (ov > overlap_th)
-    pos0, pos1, arg0, arg1 = _greedy_mutual_assignment(mean_d, valid_pair, dist_th)
-    m0 = jnp.where(pos0, arg0, jnp.where(visible0, UNMATCHED, IGNORE))
-    m1 = jnp.where(pos1, arg1, jnp.where(valid1, UNMATCHED, IGNORE))
-    assignment = (
-        pos0[..., :, None] & (jnp.arange(l1) == arg0[..., :, None]) & pos1[..., None, :]
-    )
-    return {
-        "line_matches0": m0.astype(jnp.int32),
-        "line_matches1": m1.astype(jnp.int32),
-        "line_assignment": assignment,
-    }
-
-
 def gt_line_matches_exact(
     cost: "np.ndarray",
     valid_pair: "np.ndarray",

@@ -1,0 +1,127 @@
+"""POLD2 line extractor: line candidates from keypoints + a learned distance
+field (reference: gluefactory/models/lines/pold2_extractor.py:23-497).
+
+Given up to N keypoints and a dense distance field DF (distance of every
+pixel to the nearest line), every keypoint pair is a line candidate; a
+candidate survives if the DF sampled along the segment is consistently small
+(inlier-ratio + mean tests, reference :262-326), with an optional angle-field
+consistency check (:240-260). The reference's two-stage filtering with
+precomputed interpolation matrices becomes two fully-batched gather/reduce
+passes on static (C, S) sample grids — no per-image loops.
+
+The candidate set is all C = N*(N-1)/2 pairs with validity masking (the
+reference precomputes torch.combinations the same way, :75-84)."""
+
+from __future__ import annotations
+
+from typing import ClassVar
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.interpolate import bilinear_sample
+from ..base_model import BaseModel
+
+
+def pair_indices(n: int) -> np.ndarray:
+    """All unordered pairs (C, 2) = upper triangle (reference :75-84)."""
+    iu = np.triu_indices(n, k=1)
+    return np.stack(iu, axis=-1).astype(np.int32)
+
+
+def sample_field_along_segments(
+    field: jnp.ndarray, p0: jnp.ndarray, p1: jnp.ndarray, n_samples: int
+) -> jnp.ndarray:
+    """Sample a scalar field (B, H, W) at S points along each segment.
+    p0/p1 (B, C, 2) -> (B, C, S)."""
+    t = jnp.linspace(0.0, 1.0, n_samples)
+    pts = p0[:, :, None, :] + t[None, None, :, None] * (p1 - p0)[:, :, None, :]
+    b, c, s, _ = pts.shape
+    vals = bilinear_sample(field[..., None], pts.reshape(b, c * s, 2))[..., 0]
+    return vals.reshape(b, c, s)
+
+
+class POLD2Extractor(BaseModel):
+    default_conf: ClassVar[dict] = {
+        "max_num_points": 250,  # keypoints considered as endpoints
+        "max_num_lines": 512,
+        "coarse_samples": 24,  # stage-1 fixed samples (reference :262)
+        "fine_samples": 64,  # stage-2 dense samples (reference :327)
+        "df_inlier_th": 2.0,  # DF value counting as on-line
+        "coarse_inlier_ratio": 0.9,
+        "fine_inlier_ratio": 0.95,
+        "mean_df_th": 1.5,
+        "use_angle_field": False,
+        "af_th": 0.3,  # radians tolerance between segment and angle field
+        "min_length": 8.0,
+        "trainable": False,
+    }
+    required_data_keys: ClassVar[list] = ["keypoints", "distance_field"]
+
+    def _forward(self, data: dict) -> dict:
+        conf = self.conf
+        kpts = data["keypoints"][:, : conf.max_num_points]
+        kp_valid = data.get(
+            "keypoint_valid", jnp.ones(kpts.shape[:-1], bool)
+        )[:, : conf.max_num_points]
+        df = data["distance_field"]  # (B, H, W)
+        b, n = kpts.shape[:2]
+        pairs = jnp.asarray(pair_indices(n))  # (C, 2)
+        p0 = kpts[:, pairs[:, 0]]
+        p1 = kpts[:, pairs[:, 1]]
+        pair_valid = kp_valid[:, pairs[:, 0]] & kp_valid[:, pairs[:, 1]]
+        length = jnp.linalg.norm(p1 - p0, axis=-1)
+        pair_valid = pair_valid & (length >= conf.min_length)
+
+        # ---- stage 1: coarse DF test (reference :262-326) ------------------
+        vals = sample_field_along_segments(df, p0, p1, int(conf.coarse_samples))
+        inlier_ratio = jnp.mean(vals < conf.df_inlier_th, axis=-1)
+        mean_df = jnp.mean(vals, axis=-1)
+        keep = (
+            pair_valid
+            & (inlier_ratio >= conf.coarse_inlier_ratio)
+            & (mean_df <= conf.mean_df_th)
+        )
+
+        # ---- stage 2: dense test on survivors (mask-only, static shapes) ---
+        vals_f = sample_field_along_segments(df, p0, p1, int(conf.fine_samples))
+        inlier_f = jnp.mean(vals_f < conf.df_inlier_th, axis=-1)
+        keep = keep & (inlier_f >= conf.fine_inlier_ratio)
+
+        if conf.use_angle_field and "angle_field" in data:
+            af = data["angle_field"]
+            ang_vals = sample_field_along_segments(af, p0, p1, int(conf.coarse_samples))
+            seg_ang = jnp.arctan2(
+                (p1 - p0)[..., 1], (p1 - p0)[..., 0]
+            )[..., None] % jnp.pi
+            diff = jnp.abs(ang_vals % jnp.pi - seg_ang)
+            diff = jnp.minimum(diff, jnp.pi - diff)
+            keep = keep & (jnp.mean(diff, axis=-1) < conf.af_th)
+
+        # ---- select top-L surviving candidates by score --------------------
+        score = jnp.where(keep, inlier_f * (1.0 / (1.0 + mean_df)), -1.0)
+        L = int(conf.max_num_lines)
+        top_scores, top_idx = jnp.sort(score, axis=-1)[:, ::-1][:, :L], jnp.argsort(
+            -score, axis=-1
+        )[:, :L]
+        lines = jnp.stack(
+            [
+                jnp.take_along_axis(p0, top_idx[..., None], axis=1),
+                jnp.take_along_axis(p1, top_idx[..., None], axis=1),
+            ],
+            axis=-2,
+        )  # (B, L, 2, 2)
+        valid_lines = top_scores > 0
+        line_scores = jnp.where(valid_lines, top_scores, 0.0)
+        lines = jnp.where(valid_lines[..., None, None], lines, 0.0)
+        return {
+            "lines": lines,
+            "line_scores": line_scores,
+            "valid_lines": valid_lines,
+        }
+
+    def loss(self, pred, data):
+        raise NotImplementedError
+
+
+__main_model__ = POLD2Extractor

@@ -12,32 +12,14 @@ from ..base_model import BaseModel
 class DepthMatcher(BaseModel):
     default_conf: ClassVar[dict] = {
         "use_points": True,
-        "use_lines": False,  # depth-reprojection GT for detected lines
         "th_positive": 3.0,
         "th_negative": 5.0,
         "th_epi": None,
-        "line_dist_th": 5.0,
-        "line_overlap_th": 0.2,
     }
     required_data_keys: ClassVar[list] = ["view0", "view1", "T_0to1"]
 
     def _forward(self, data: dict) -> dict:
         pred = {}
-        if self.conf.use_lines and "lines0" in data:
-            import jax.numpy as jnp
-
-            from ...geometry.lines import gt_line_matches_from_pose_depth
-
-            vl0 = data.get("valid_lines0", jnp.ones(data["lines0"].shape[:2], bool))
-            vl1 = data.get("valid_lines1", jnp.ones(data["lines1"].shape[:2], bool))
-            lres = gt_line_matches_from_pose_depth(
-                data["lines0"], data["lines1"], vl0, vl1,
-                data["view0"]["depth"], data["view1"]["depth"],
-                data["view0"]["camera"], data["view1"]["camera"], data["T_0to1"],
-                dist_th=float(self.conf.line_dist_th),
-                overlap_th=float(self.conf.line_overlap_th),
-            )
-            pred.update({"gt_" + k: v for k, v in lres.items()})
         if self.conf.use_points:
             result = gt_matches_from_pose_depth(
                 data["keypoints0"],

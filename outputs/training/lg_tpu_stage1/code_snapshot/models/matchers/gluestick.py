@@ -1,0 +1,255 @@
+"""GlueStick joint point-line matcher
+(reference: gluefactory/models/matchers/gluestick.py:18-776 — re-designed
+TPU-first, not ported).
+
+Architecture (keeping the reference's graph structure):
+  - keypoint encoder: MLP(pos, score) added to visual descriptors
+    (KeypointEncoder, gluestick.py:484);
+  - line endpoint encoder: MLP(endpoint, offset-to-partner, line score)
+    (EndPtEncoder, gluestick.py:495);
+  - N layers of [self-attention + line message pass, cross-attention]
+    (gluestick.py:525-684). The line message gathers endpoint descriptors by
+    ``lines_junc_idx``, runs an MLP on [desc, partner desc, line encoding],
+    and scatters back onto junction slots. Scatter is a one-hot einsum —
+    static shapes, MXU-shaped, batched (vs the reference's scatter_mean);
+  - point assignment: dustbin double-softmax (ops/assignment.log_double_softmax,
+    gluestick.py:761-772);
+  - line assignment from the point log-assignment gathered at junction
+    indices, max over the two endpoint orderings (gluestick.py:329-369);
+  - losses: point NLL + line NLL (gluestick.py:371-455).
+
+Attention runs through the shared ops/attention kernel with padding masks.
+"""
+
+from __future__ import annotations
+
+from typing import ClassVar
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.assignment import filter_matches, log_double_softmax
+from ...ops.attention import attention
+from ..base_model import BaseModel
+from ..utils.losses import nll_loss
+from ..utils.metrics import matcher_metrics
+
+ETH_EPS = 1e-8
+
+
+class MLP(nn.Module):
+    dims: tuple
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dims):
+            x = nn.Dense(d, name=f"dense_{i}")(x)
+            if i < len(self.dims) - 1:
+                x = nn.LayerNorm(name=f"norm_{i}")(x)
+                x = nn.relu(x)
+        return x
+
+
+def normalize_points(pts, image_size):
+    size = image_size[:, None, :]
+    center = size / 2.0
+    scale = jnp.max(size, axis=-1, keepdims=True) * 0.7
+    return (pts - center) / (scale + ETH_EPS)
+
+
+class AttnLayer(nn.Module):
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, source, source_mask=None):
+        d, h = self.dim, self.num_heads
+        hd = d // h
+        b, n, _ = x.shape
+
+        def heads(t):
+            return t.reshape(b, -1, h, hd).transpose(0, 2, 1, 3)
+
+        q = heads(nn.Dense(d, name="q")(x))
+        k = heads(nn.Dense(d, name="k")(source))
+        v = heads(nn.Dense(d, name="v")(source))
+        msg = attention(q, k, v, kv_mask=source_mask)
+        msg = msg.transpose(0, 2, 1, 3).reshape(b, n, d)
+        msg = nn.Dense(d, name="out")(msg)
+        upd = MLP(dims=(2 * d, d), name="mlp")(jnp.concatenate([x, msg], axis=-1))
+        return x + upd
+
+
+class LineMessage(nn.Module):
+    """Endpoint message passing along lines (reference LineLayer,
+    gluestick.py:582-684)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, desc, line_enc, lines_junc_idx, valid_lines, n_junc: int):
+        # desc (B, N, D) full node set; junction block = slots [0, n_junc)
+        b, n, d = desc.shape
+        idx = lines_junc_idx  # (B, 2L) into junction slots
+        ep_desc = jnp.take_along_axis(desc, idx[..., None], axis=1)  # (B, 2L, D)
+        twoL = idx.shape[1]
+        partner = ep_desc.reshape(b, twoL // 2, 2, d)[:, :, ::-1].reshape(b, twoL, d)
+        msg = MLP(dims=(2 * d, d), name="mlp")(
+            jnp.concatenate([ep_desc, partner, line_enc], axis=-1)
+        )
+        ep_valid = jnp.repeat(valid_lines, 2, axis=-1).astype(desc.dtype)
+        # scatter-mean onto junction slots via one-hot einsum (static shapes)
+        onehot = (idx[..., None] == jnp.arange(n_junc)).astype(desc.dtype)
+        onehot = onehot * ep_valid[..., None]
+        denom = jnp.maximum(jnp.sum(onehot, axis=1), 1.0)  # (B, n_junc)
+        agg = jnp.einsum("bld,blj->bjd", msg, onehot) / denom[..., None]
+        update = jnp.zeros_like(desc).at[:, :n_junc].set(agg)
+        return desc + update
+
+
+class GlueStick(BaseModel):
+    default_conf: ClassVar[dict] = {
+        "input_dim": 256,
+        "descriptor_dim": 256,
+        "num_heads": 4,
+        "n_layers": 9,
+        "filter_threshold": 0.2,
+        "line_filter_threshold": 0.2,
+        "checkpointed": False,
+        "loss": {"nll_weight": 1.0, "line_nll_weight": 1.0},
+    }
+    required_data_keys: ClassVar[list] = [
+        "keypoints0", "keypoints1", "descriptors0", "descriptors1",
+        "lines0", "lines1", "lines_junc_idx0", "lines_junc_idx1",
+    ]
+
+    def setup(self):
+        d = self.conf.descriptor_dim
+        self.input_proj = nn.Dense(d, name="input_proj")
+        self.kenc = MLP(dims=(32, 64, 128, d), name="kenc")
+        self.lenc = MLP(dims=(32, 64, 128, d), name="lenc")
+        self.self_layers = [
+            AttnLayer(d, self.conf.num_heads, name=f"self_{i}")
+            for i in range(self.conf.n_layers)
+        ]
+        self.cross_layers = [
+            AttnLayer(d, self.conf.num_heads, name=f"cross_{i}")
+            for i in range(self.conf.n_layers)
+        ]
+        self.line_layers = [
+            LineMessage(d, name=f"line_{i}") for i in range(self.conf.n_layers)
+        ]
+        self.final_proj = nn.Dense(d, name="final_proj")
+        self.bin_score = self.param("bin_score", nn.initializers.ones, ())
+        self.line_bin_score = self.param("line_bin_score", nn.initializers.ones, ())
+
+    def _encode_view(self, data: dict, i: str):
+        size = data.get(f"view{i}", {}).get("image_size", data.get(f"image_size{i}"))
+        kpts = data[f"keypoints{i}"]
+        desc = self.input_proj(data[f"descriptors{i}"])
+        normed = normalize_points(kpts, size)
+        desc = desc + self.kenc(
+            jnp.concatenate([normed, data[f"keypoint_scores{i}"][..., None]], axis=-1)
+        )
+        lines = data[f"lines{i}"]  # (B, L, 2, 2)
+        b, L = lines.shape[0], lines.shape[1]
+        eps = lines.reshape(b, 2 * L, 2)
+        eps_n = normalize_points(eps, size)
+        partner = eps_n.reshape(b, L, 2, 2)[:, :, ::-1].reshape(b, 2 * L, 2)
+        lscore = jnp.repeat(data.get(f"line_scores{i}", jnp.ones((b, L))), 2, axis=-1)
+        lscore = lscore / (jnp.max(lscore, axis=-1, keepdims=True) + ETH_EPS)
+        line_enc = self.lenc(
+            jnp.concatenate([eps_n, partner - eps_n, lscore[..., None]], axis=-1)
+        )
+        return desc, line_enc
+
+    def _forward(self, data: dict) -> dict:
+        conf = self.conf
+        mask0 = data.get("keypoint_valid0")
+        mask1 = data.get("keypoint_valid1")
+        desc0, lenc0 = self._encode_view(data, "0")
+        desc1, lenc1 = self._encode_view(data, "1")
+        idx0 = data["lines_junc_idx0"]
+        idx1 = data["lines_junc_idx1"]
+        vl0 = data.get("valid_lines0", jnp.ones(data["lines0"].shape[:2], bool))
+        vl1 = data.get("valid_lines1", jnp.ones(data["lines1"].shape[:2], bool))
+        n_junc0 = idx0.shape[1]
+        n_junc1 = idx1.shape[1]
+        for i in range(conf.n_layers):
+            desc0 = self.self_layers[i](desc0, desc0, source_mask=mask0)
+            desc1 = self.self_layers[i](desc1, desc1, source_mask=mask1)
+            desc0 = self.line_layers[i](desc0, lenc0, idx0, vl0, n_junc0)
+            desc1 = self.line_layers[i](desc1, lenc1, idx1, vl1, n_junc1)
+            d0 = self.cross_layers[i](desc0, desc1, source_mask=mask1)
+            d1 = self.cross_layers[i](desc1, desc0, source_mask=mask0)
+            desc0, desc1 = d0, d1
+        mdesc0 = self.final_proj(desc0)
+        mdesc1 = self.final_proj(desc1)
+        sim = jnp.einsum("bnd,bmd->bnm", mdesc0, mdesc1) / conf.descriptor_dim**0.5
+        scores = log_double_softmax(sim, self.bin_score, mask0, mask1)
+        matches = filter_matches(scores[:, :-1, :-1], conf.filter_threshold)
+        pred = {"log_assignment": scores, **matches}
+        if mask0 is not None:
+            pred["matches0"] = jnp.where(mask0, pred["matches0"], -1)
+        if mask1 is not None:
+            pred["matches1"] = jnp.where(mask1, pred["matches1"], -1)
+
+        # ---- line assignment from junction score sub-matrix ----------------
+        line_scores_mat, line_matches = self._line_matches(
+            scores[:, :-1, :-1], idx0, idx1, vl0, vl1, conf.line_filter_threshold
+        )
+        pred.update(line_matches)
+        pred["raw_line_scores"] = line_scores_mat
+        return pred
+
+    def _line_matches(self, scores, idx0, idx1, vl0, vl1, threshold):
+        """(reference _get_line_matches, gluestick.py:329-369)"""
+        b = scores.shape[0]
+        L0 = idx0.shape[1] // 2
+        L1 = idx1.shape[1] // 2
+        # gather (B, 2L0, 2L1) endpoint-pair scores
+        s = jnp.take_along_axis(scores, idx0[..., None], axis=1)
+        s = jnp.take_along_axis(s, idx1[:, None, :], axis=2)
+        s = s.reshape(b, L0, 2, L1, 2)
+        straight = 0.5 * (s[:, :, 0, :, 0] + s[:, :, 1, :, 1])
+        flipped = 0.5 * (s[:, :, 0, :, 1] + s[:, :, 1, :, 0])
+        line_scores = jnp.maximum(straight, flipped)
+        pair_valid = vl0[:, :, None] & vl1[:, None, :]
+        line_scores = jnp.where(pair_valid, line_scores, -1e30)
+        ls = log_double_softmax(line_scores, self.line_bin_score, vl0, vl1)
+        matches = filter_matches(ls[:, :-1, :-1], threshold)
+        out = {
+            "line_matches0": jnp.where(vl0, matches["matches0"], -1),
+            "line_matches1": jnp.where(vl1, matches["matches1"], -1),
+            "line_matching_scores0": matches["matching_scores0"],
+            "line_matching_scores1": matches["matching_scores1"],
+            "line_log_assignment": ls,
+        }
+        return line_scores, out
+
+    def loss(self, pred: dict, data: dict):
+        conf = self.conf.loss
+        total_pt, nllp, nlln = nll_loss(
+            pred["log_assignment"], data["gt_matches0"], data["gt_matches1"]
+        )
+        losses = {
+            "assignment_nll": total_pt,
+            "nll_pos": nllp,
+            "nll_neg": nlln,
+        }
+        total = conf.nll_weight * total_pt
+        if "gt_line_matches0" in data:
+            total_ln, _, _ = nll_loss(
+                pred["line_log_assignment"],
+                data["gt_line_matches0"],
+                data["gt_line_matches1"],
+            )
+            losses["line_nll"] = total_ln
+            total = total + conf.line_nll_weight * total_ln
+        losses["total"] = total
+        metrics = matcher_metrics(pred, data)
+        return losses, metrics
+
+
+__main_model__ = GlueStick

@@ -1,0 +1,75 @@
+"""Bilinear sampling of dense feature maps at sparse locations
+(reference: torch.nn.functional.grid_sample usage in
+gluefactory_nonfree/superpoint.py:117-149 and extractors/aliked.py SDDH).
+
+Implemented as four static gathers + lerp — on TPU this compiles to vector
+gathers with no dynamic shapes, and is differentiable w.r.t. both the feature
+map and the sampling locations.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def bilinear_sample(
+    fmap: jnp.ndarray, points: jnp.ndarray, align_corners: bool = False
+) -> jnp.ndarray:
+    """Sample fmap (B, H, W, C) at pixel coords points (B, N, 2) in (x, y).
+
+    Coordinates follow the pixel-center convention: (0, 0) is the center of
+    the top-left pixel (align_corners=True semantics on the pixel grid).
+    Out-of-bounds coordinates are clamped (border padding).
+    Returns (B, N, C).
+    """
+    b, h, w, c = fmap.shape
+    x = jnp.clip(points[..., 0], 0.0, w - 1.0)
+    y = jnp.clip(points[..., 1], 0.0, h - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2)
+    x1, y1 = x0 + 1, y0 + 1
+    fx = (x - x0.astype(x.dtype))[..., None]
+    fy = (y - y0.astype(y.dtype))[..., None]
+    flat = fmap.reshape(b, h * w, c)
+
+    def gather(yy, xx):
+        idx = (yy * w + xx)[..., None]
+        return jnp.take_along_axis(flat, idx, axis=1)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def sample_descriptors(
+    descriptor_map: jnp.ndarray,
+    keypoints: jnp.ndarray,
+    stride: int = 8,
+    normalized: bool = True,
+) -> jnp.ndarray:
+    """Interpolate L2-normalized descriptors at keypoint locations
+    (reference superpoint.py:117-149 'fixed' sampling variant).
+
+    descriptor_map (B, H/s, W/s, C); keypoints (B, N, 2) in full-res pixel
+    coords (pixel-center convention). Returns (B, N, C).
+    """
+    # Map full-res pixel coords to descriptor-grid coords: cell centers sit at
+    # (stride/2 - 0.5) + stride * i in image space.
+    pts = (keypoints - (stride / 2.0 - 0.5)) / stride
+    desc = bilinear_sample(descriptor_map, pts)
+    if normalized:
+        desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)
+    return desc
+
+
+def grid_sample_nchw_like(fmap: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """torch-style normalized-grid sampling for [-1, 1] grids
+    (align_corners=False): fmap (B, H, W, C), grid (B, N, 2) -> (B, N, C)."""
+    h, w = fmap.shape[1:3]
+    x = (grid[..., 0] + 1.0) * (w / 2.0) - 0.5
+    y = (grid[..., 1] + 1.0) * (h / 2.0) - 0.5
+    return bilinear_sample(fmap, jnp.stack([x, y], axis=-1))

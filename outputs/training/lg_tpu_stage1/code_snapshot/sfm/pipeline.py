@@ -1,0 +1,181 @@
+"""Two-view -> multi-view reconstruction pipeline (NEW back-end layer; the
+"full pipeline demo" of SURVEY.md §7.2.8): pairwise matches -> incremental
+pose chaining (essential RANSAC + scale propagation through common tracks) ->
+feature tracks (union-find) -> N-view triangulation -> distributed-capable
+bundle adjustment.
+
+Host-side orchestration is numpy; every numeric phase (RANSAC, triangulation,
+BA) runs on device through the batched jitted building blocks."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import logger
+from ..geometry.wrappers import Camera, Pose
+from ..robust_estimators.relative_pose.ransac import ransac_essential
+from .ba import BAProblem, bundle_adjust
+from .triangulation import triangulate_depths, triangulate_linear
+
+
+class UnionFind:
+    def __init__(self, n: int):
+        self.parent = np.arange(n)
+
+    def find(self, x: int) -> int:
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+
+
+def build_tracks(matches: dict, num_views: int, num_kpts: int) -> np.ndarray:
+    """matches[(i, j)] = m (N,) with m[k] = index in view j of view-i keypoint
+    k (or -1). Returns track_id (V, N) int32, -1 for untracked; track ids are
+    compacted [0, T)."""
+    uf = UnionFind(num_views * num_kpts)
+    for (i, j), m in matches.items():
+        ks = np.nonzero(np.asarray(m) >= 0)[0]
+        for k in ks:
+            uf.union(i * num_kpts + k, j * num_kpts + int(m[k]))
+    roots = np.array([uf.find(x) for x in range(num_views * num_kpts)])
+    # keep only components with >= 2 members (real tracks)
+    uniq, inverse, counts = np.unique(roots, return_inverse=True, return_counts=True)
+    keep = counts >= 2
+    remap = np.full(len(uniq), -1, np.int32)
+    remap[keep] = np.arange(keep.sum(), dtype=np.int32)
+    track_id = remap[inverse].reshape(num_views, num_kpts)
+    return track_id
+
+
+def run_sfm(
+    keypoints: np.ndarray,  # (V, N, 2)
+    valid: np.ndarray,  # (V, N)
+    matches: dict,  # {(i, j): (N,) int}
+    cameras: Camera,  # batch (V,)
+    ransac_th: float = 2.0,
+    num_hypotheses: int = 1024,
+    ba_iters: int = 20,
+    seed: int = 0,
+) -> dict:
+    """Incremental SfM over a view sequence. Returns dict with poses (Pose),
+    points (P, 3), track_id (V, N), ba info."""
+    V, N = keypoints.shape[:2]
+    kpts = jnp.asarray(keypoints, jnp.float32)
+    rays = jax.vmap(lambda c, k: c.image2cam(k[None])[0])(cameras, kpts)  # (V, N, 3)
+
+    # --- 1. pairwise relative poses along the chain ------------------------
+    rel_poses = {}
+    key = jax.random.key(seed)
+    for i in range(V - 1):
+        m = np.asarray(matches[(i, i + 1)])
+        sel = m >= 0
+        r0 = np.zeros((N, 3), np.float32)
+        r1 = np.zeros((N, 3), np.float32)
+        r0[sel] = np.asarray(rays[i])[sel]
+        r1[sel] = np.asarray(rays[i + 1])[np.clip(m, 0, None)][sel]
+        key, sub = jax.random.split(key)
+        E, R, t, inl, score = ransac_essential(
+            jnp.asarray(r0), jnp.asarray(r1), jnp.asarray(sel & valid[i]), sub,
+            th=ransac_th / float(np.asarray(cameras.f[i]).mean()),
+            num_hypotheses=num_hypotheses,
+        )
+        rel_poses[(i, i + 1)] = (np.asarray(R), np.asarray(t), np.asarray(inl))
+
+    # --- 2. chain poses with scale propagation -----------------------------
+    Rs = [np.eye(3, dtype=np.float32)]
+    ts = [np.zeros(3, np.float32)]
+    prev_depths: dict[int, float] | None = None
+    for i in range(V - 1):
+        R_rel, t_rel, inl = rel_poses[(i, i + 1)]
+        m = np.asarray(matches[(i, i + 1)])
+        sel = np.nonzero((m >= 0) & inl)[0]
+        r0 = np.asarray(rays[i])[sel]
+        r1 = np.asarray(rays[i + 1])[np.clip(m[sel], 0, None)]
+        s_d, u_d = triangulate_depths(
+            jnp.asarray(r0)[None], jnp.asarray(r1)[None],
+            jnp.asarray(R_rel)[None], jnp.asarray(t_rel)[None],
+        )
+        depths_i = {int(k): float(d) for k, d in zip(sel, np.asarray(s_d[0]))}
+        if prev_depths is None:
+            scale = 1.0
+        else:
+            # common keypoints in view i: depth seen from the previous pair
+            # (as u: depth in view i) vs this pair (as s: depth in view i)
+            ratios = [
+                prev_depths[k] / depths_i[k]
+                for k in depths_i
+                if k in prev_depths and depths_i[k] > 1e-6 and prev_depths[k] > 1e-6
+            ]
+            scale = float(np.median(ratios)) if len(ratios) >= 3 else 1.0
+        t_scaled = t_rel * scale
+        R_new = R_rel @ Rs[i]
+        t_new = R_rel @ ts[i] + t_scaled
+        Rs.append(R_new.astype(np.float32))
+        ts.append(t_new.astype(np.float32))
+        # depths of view i+1 keypoints for the next link's scale estimate
+        m_next = np.clip(m[sel], 0, None)
+        prev_depths = {
+            int(kn): float(u) * scale for kn, u in zip(m_next, np.asarray(u_d[0]))
+        }
+    poses = Pose(R=jnp.asarray(np.stack(Rs)), t=jnp.asarray(np.stack(ts)))
+
+    # --- 3. tracks + triangulation ----------------------------------------
+    track_id = build_tracks(matches, V, N)
+    track_id = np.where(valid, track_id, -1)
+    T = int(track_id.max()) + 1 if (track_id >= 0).any() else 0
+    if T == 0:
+        return {"poses": poses, "points": jnp.zeros((0, 3)), "track_id": track_id}
+    obs_uv = np.zeros((T, V, 2), np.float32)
+    obs_mask = np.zeros((T, V), bool)
+    for v in range(V):
+        for k in range(N):
+            t_id = track_id[v, k]
+            if t_id >= 0 and not obs_mask[t_id, v]:
+                obs_uv[t_id, v] = keypoints[v, k]
+                obs_mask[t_id, v] = True
+    points = triangulate_linear(
+        poses, cameras, jnp.asarray(obs_uv), jnp.asarray(obs_mask)
+    )
+
+    # --- 4. bundle adjustment ---------------------------------------------
+    obs_cam, obs_pt, obs_xy = [], [], []
+    for v in range(V):
+        for k in range(N):
+            t_id = track_id[v, k]
+            if t_id >= 0:
+                obs_cam.append(v)
+                obs_pt.append(t_id)
+                obs_xy.append(keypoints[v, k])
+    problem = BAProblem(
+        poses=poses, cameras=cameras, points=points,
+        obs_cam=jnp.asarray(obs_cam, jnp.int32),
+        obs_pt=jnp.asarray(obs_pt, jnp.int32),
+        obs_uv=jnp.asarray(np.stack(obs_xy), jnp.float32),
+        obs_valid=jnp.ones(len(obs_cam), bool),
+        fixed_cams=jnp.zeros(V, bool).at[0].set(True).at[1].set(True),
+    )
+    poses_opt, points_opt, info = bundle_adjust(
+        problem, num_iters=ba_iters, huber_delta=3.0, trim_th=20.0
+    )
+    logger.info(
+        "SfM: %d views, %d tracks, %d obs; BA cost %.4g -> %.4g",
+        V, T, len(obs_cam), float(np.asarray(info["costs"][0])),
+        float(np.asarray(info["costs"][-1])),
+    )
+    return {
+        "poses": poses_opt,
+        "points": points_opt,
+        "track_id": track_id,
+        "poses_init": poses,
+        "ba_info": info,
+    }

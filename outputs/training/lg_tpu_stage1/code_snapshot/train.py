@@ -1,0 +1,474 @@
+"""Training loop (reference: gluefactory/train.py:43-703).
+
+TPU-first re-design (SURVEY.md §2.10, §5.8):
+  - ONE jitted train step — forward, loss, grad, clip, optimizer update —
+    compiled over a ``Mesh(devices, ("data",))``; the batch is sharded over
+    the ``data`` axis, params are replicated, and the gradient all-reduce is
+    inserted by XLA from the sharding annotations. This replaces the
+    reference's DDP process-per-GPU + NCCL allreduce (train.py:239-308).
+  - Multi-host: `jax.distributed.initialize()` when JAX_COORDINATOR is set;
+    each process loads its own shard of the epoch (per-host input pipeline ≙
+    DistributedSampler, reference base_dataset.py:166-169).
+  - NaN guard: non-finite loss or grad-norm skips the step inside jit with
+    lax.cond — no cross-rank vote needed since data-parallel grads are
+    already averaged (reference train.py:440-475 is host-side).
+  - ``conf.model.<component>.trainable: false`` freezes that param subtree
+    through an optax mask (reference base_model.py:88-90 freezes nn.Modules).
+  - Checkpointing keeps the reference semantics (best-key, keep-last-K,
+    restore-merge; utils/experiments.py).
+
+CLI: ``python -m gluefactory_tpu.train <experiment> --conf path.yaml
+[dot.key=value ...] [--restore] [--overfit] [--print_arch]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import traverse_util
+
+from . import logger
+from .core.config import Config
+from .datasets import get_dataset
+from .models import build_model
+from .settings import TRAINING_PATH
+from .utils.experiments import load_experiment, save_experiment
+from .utils.tools import AverageMetric, MedianMetric, set_seed
+
+default_train_conf = {
+    "seed": 0,  # reference train.py:45 ('???' + random default)
+    "epochs": 1,
+    "optimizer": "adam",  # adam | adamw | sgd | rmsprop
+    "opt_regexp": None,  # train only params matching this regexp (train.py:127)
+    "optimizer_options": {},
+    "lr": 1e-4,
+    "lr_schedule": {"type": None, "start": 0, "exp_div_10": 0, "on_epoch": False,
+                    "factor": 1.0},
+    "lr_scaling": [],
+    "eval_every_iter": 1000,
+    "save_every_iter": 5000,
+    "log_every_iter": 200,
+    "log_grad_every_iter": None,
+    "keep_last_checkpoints": 5,
+    "load_experiment": None,
+    "clip_grad": 1.0,
+    "best_key": "loss/total",
+    "dataset_callback_fn": None,
+    "dataset_callback_on_val": False,
+    "overfit": False,
+    "num_steps_per_epoch": None,  # cap steps (useful for synthetic data)
+    "mixed_precision": None,  # null | "bf16" (activations cast in-model)
+    "log_dir": None,
+}
+
+default_conf = {
+    "data": {"name": None},
+    "model": {"name": None},
+    "train": default_train_conf,
+}
+
+
+# ---------------------------------------------------------------------------
+# Optimizer construction
+# ---------------------------------------------------------------------------
+
+
+def make_lr_schedule(conf: Config):
+    """factor/exp schedules (reference get_lr_scheduler, train.py:146-164)."""
+    base_lr = float(conf.lr)
+    sched = conf.lr_schedule
+    kind = sched.get("type")
+
+    def fn(step):
+        lr = base_lr
+        if kind == "exp":
+            start = float(sched.get("start", 0))
+            div10 = float(sched.get("exp_div_10", 1e9))
+            gamma = jnp.where(step >= start, 10 ** (-(step - start) / max(div10, 1.0)), 1.0)
+            lr = base_lr * gamma
+        elif kind == "factor":
+            start = float(sched.get("start", 0))
+            factor = float(sched.get("factor", 1.0))
+            lr = jnp.where(step >= start, base_lr * factor, base_lr)
+        return lr
+
+    return fn
+
+
+def trainable_mask(params: dict, model_conf: Config) -> dict:
+    """Freeze param subtrees whose component conf sets trainable=False
+    (reference base_model.py:88-90)."""
+    frozen_roots = set()
+    for comp, sub in model_conf.items():
+        if isinstance(sub, Config) and sub.get("trainable") is False:
+            frozen_roots.add(comp)
+    flat = traverse_util.flatten_dict(params)
+    mask = {
+        k: not any(part in frozen_roots for part in k[:2]) for k in flat
+    }
+    return traverse_util.unflatten_dict(mask)
+
+
+def make_optimizer(conf: Config, params: dict, model_conf: Config):
+    opts = {
+        "adam": optax.adam,
+        "adamw": optax.adamw,
+        "sgd": optax.sgd,
+        "rmsprop": optax.rmsprop,
+    }
+    schedule = make_lr_schedule(conf)
+    opt = opts[conf.optimizer](learning_rate=schedule, **conf.optimizer_options.to_dict()
+                               if isinstance(conf.optimizer_options, Config)
+                               else conf.optimizer_options)
+    chain = [optax.clip_by_global_norm(float(conf.clip_grad))] if conf.clip_grad else []
+    chain.append(opt)
+    tx = optax.chain(*chain)
+    mask = trainable_mask(params, model_conf)
+    flat_mask = traverse_util.flatten_dict(mask)
+    if not all(flat_mask.values()):
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            traverse_util.unflatten_dict(
+                {k: "train" if v else "freeze" for k, v in flat_mask.items()}
+            ),
+        )
+    return tx, schedule
+
+
+# ---------------------------------------------------------------------------
+# Sharded train step
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(model, tx, mesh: jax.sharding.Mesh):
+    """Build the jitted data-parallel train step. Batch arrays are sharded on
+    their leading axis over ``data``; params/opt_state replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data_sharded = NamedSharding(mesh, P("data"))
+
+    def loss_fn(params, data):
+        pred = model.apply(params, data)
+        losses, metrics = model.apply(params, pred, data, method=model.loss)
+        return jnp.mean(losses["total"]), (losses, metrics)
+
+    def step(params, opt_state, data):
+        (loss, (losses, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, data
+        )
+        grad_norm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+
+        def do_update(_):
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), new_opt
+
+        def skip(_):
+            return params, opt_state
+
+        new_params, new_opt_state = jax.lax.cond(finite, do_update, skip, None)
+        scalars = {f"loss/{k}": jnp.mean(v) for k, v in losses.items()}
+        scalars.update({f"metric/{k}": jnp.mean(v) for k, v in metrics.items()})
+        scalars["grad_norm"] = grad_norm
+        scalars["skipped"] = (~finite).astype(jnp.float32)
+        return new_params, new_opt_state, scalars
+
+    def shard_batch(batch):
+        def put(x):
+            if isinstance(x, (np.ndarray, jnp.ndarray)) and getattr(x, "ndim", 0) > 0:
+                return jax.device_put(x, data_sharded)
+            return x
+
+        return jax.tree.map(put, batch, is_leaf=lambda x: isinstance(x, np.ndarray))
+
+    jitted = jax.jit(
+        step,
+        in_shardings=(repl, repl, data_sharded),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+    return jitted, shard_batch, repl
+
+
+def filter_batch(batch):
+    """Drop non-array entries (names, strings) before feeding the jit step."""
+    if isinstance(batch, dict):
+        out = {}
+        for k, v in batch.items():
+            fv = filter_batch(v)
+            if fv is not None:
+                out[k] = fv
+        return out
+    if isinstance(batch, (np.ndarray, jnp.ndarray, jax.Array, int, float, np.generic)):
+        return batch
+    if hasattr(batch, "R") or hasattr(batch, "f"):  # Pose/Camera pytrees
+        return batch
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Validation
+# ---------------------------------------------------------------------------
+
+
+def do_evaluation(model, params, loader, jit_forward=None):
+    """(reference train.py:82-124)"""
+    results: dict[str, AverageMetric | MedianMetric] = defaultdict(AverageMetric)
+
+    if jit_forward is None:
+        @jax.jit
+        def jit_forward(params, data):
+            pred = model.apply(params, data)
+            losses, metrics = model.apply(params, pred, data, method=model.loss)
+            return losses, metrics
+
+    for batch in loader:
+        data = filter_batch(batch)
+        losses, metrics = jit_forward(params, data)
+        for k, v in losses.items():
+            results[f"loss/{k}"].update(np.asarray(v))
+        for k, v in metrics.items():
+            results[f"metric/{k}"].update(np.asarray(v))
+    return {k: m.compute() for k, m in results.items()}
+
+
+# ---------------------------------------------------------------------------
+# Main loop
+# ---------------------------------------------------------------------------
+
+
+class JSONLWriter:
+    """Minimal metrics sink: JSONL file (+tensorboard if available)."""
+
+    def __init__(self, log_dir: Path):
+        import json
+
+        self._json = json
+        log_dir.mkdir(parents=True, exist_ok=True)
+        self.f = open(log_dir / "metrics.jsonl", "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(str(log_dir))
+        except Exception:
+            pass
+
+    def write(self, tag_values: dict, step: int):
+        rec = {"step": step, **{k: float(v) for k, v in tag_values.items()}}
+        self.f.write(self._json.dumps(rec) + "\n")
+        self.f.flush()
+        if self.tb is not None:
+            for k, v in tag_values.items():
+                self.tb.add_scalar(k, float(v), step)
+
+
+def training(conf: Config, output_dir: Path, args=None):
+    """(reference train.py:188-634)"""
+    from .parallel.mesh import maybe_init_distributed
+
+    maybe_init_distributed()
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    conf.save(output_dir / "config.yaml")
+    # code snapshot for reproducibility (reference train.py:689-692)
+    if jax.process_index() == 0 and not (output_dir / "code_snapshot").exists():
+        import shutil
+
+        try:
+            shutil.copytree(
+                Path(__file__).parent, output_dir / "code_snapshot",
+                ignore=shutil.ignore_patterns("__pycache__", "*.pyc"),
+            )
+        except OSError:
+            pass
+    profile = args is not None and getattr(args, "profile", False)
+    if profile:
+        # (≙ torch.profiler schedule, reference train.py:361-369)
+        jax.profiler.start_trace(str(output_dir / "profile"))
+
+    key = set_seed(int(conf.train.seed))
+    writer = JSONLWriter(output_dir)
+
+    n_proc = jax.process_count()
+    devices = jax.devices()
+    dataset = get_dataset(conf.data.name)(conf.data)
+    # The per-process batch must divide over the data axis; use the largest
+    # device count that divides it (normally all devices).
+    per_proc_batch = dataset.batch_size("train")
+    n_use = len(devices)
+    while n_use > 1 and per_proc_batch % n_use != 0:
+        n_use -= 1
+    mesh = jax.sharding.Mesh(np.array(devices[:n_use]), ("data",))
+    logger.info("Training on %d/%d devices (%d processes), mesh=%s",
+                n_use, len(devices), n_proc, mesh)
+    model = build_model(conf.model.name, conf.model)
+
+    # init / restore -------------------------------------------------------
+    init_batch = None
+    train_loader = dataset.get_data_loader(
+        "train", shard=jax.process_index(), num_shards=n_proc
+    )
+    val_loader = dataset.get_data_loader("val", shard=jax.process_index(), num_shards=n_proc)
+    for b in train_loader:
+        init_batch = filter_batch(b)
+        break
+    assert init_batch is not None, "empty training loader"
+    params = model.init(key, init_batch, method=model.forward_and_loss)
+    size = sum(x.size for x in jax.tree.leaves(params))
+    logger.info("Model parameters: %.2fM", size / 1e6)
+
+    epoch0, iteration = 0, 0
+    best_eval = None
+    if conf.train.load_experiment:
+        from .utils.experiments import restore_from_flat_dict
+
+        blob, _ = load_experiment(conf.train.load_experiment, best=False)
+        params = restore_from_flat_dict(params, blob["state"]["params"])
+        logger.info("Loaded params from experiment %s", conf.train.load_experiment)
+
+    tx, schedule = make_optimizer(conf.train, params, conf.model)
+    opt_state = tx.init(params)
+    if args is not None and getattr(args, "restore", False):
+        from .utils.experiments import restore_from_flat_dict
+
+        blob, _ = load_experiment(output_dir.name, best=False)
+        params = restore_from_flat_dict(params, blob["state"]["params"])
+        opt_state = restore_from_flat_dict(opt_state, blob["state"]["opt_state"])
+        epoch0 = blob["epoch"] + 1
+        iteration = blob["iteration"]
+        logger.info("Restored at epoch %d iter %d", epoch0, iteration)
+
+    train_step, shard_batch, repl_sharding = make_train_step(model, tx, mesh)
+    params = jax.device_put(params, repl_sharding)
+    opt_state = jax.device_put(opt_state, repl_sharding)
+
+    # graceful SIGINT (reference train.py:289-297)
+    stop = {"flag": False}
+
+    def sigint_handler(signum, frame):
+        if stop["flag"]:
+            raise KeyboardInterrupt
+        logger.info("SIGINT: will stop after this iteration (^C again to kill).")
+        stop["flag"] = True
+
+    old_handler = signal.signal(signal.SIGINT, sigint_handler)
+
+    losses_running: dict[str, AverageMetric] = defaultdict(AverageMetric)
+    t_last = time.perf_counter()
+    samples_since = 0
+    try:
+        for epoch in range(epoch0, int(conf.train.epochs)):
+            train_loader.set_epoch(epoch)
+            if conf.train.overfit:
+                loader = dataset.get_overfit_loader("train")
+            else:
+                loader = train_loader
+            steps_in_epoch = 0
+            for batch in loader:
+                data = shard_batch(filter_batch(batch))
+                params, opt_state, scalars = train_step(params, opt_state, data)
+                iteration += 1
+                samples_since += dataset.batch_size("train")
+                for k, v in scalars.items():
+                    losses_running[k].update(np.asarray(v))
+                if iteration % int(conf.train.log_every_iter) == 0:
+                    vals = {k: m.compute() for k, m in losses_running.items()}
+                    vals["lr"] = float(schedule(iteration))
+                    dt = time.perf_counter() - t_last
+                    vals["samples_per_sec"] = samples_since / max(dt, 1e-6)
+                    writer.write(vals, iteration)
+                    logger.info(
+                        "[E %d | it %d] loss %.4f | %.1f samples/s",
+                        epoch, iteration, vals.get("loss/total", float("nan")),
+                        vals["samples_per_sec"],
+                    )
+                    losses_running.clear()
+                    t_last = time.perf_counter()
+                    samples_since = 0
+                if iteration % int(conf.train.eval_every_iter) == 0 or stop["flag"]:
+                    eval_results = do_evaluation(model, params, val_loader)
+                    writer.write({f"val/{k}": v for k, v in eval_results.items()
+                                  if np.isscalar(v) or getattr(v, 'ndim', 1) == 0}, iteration)
+                    logger.info("[Validation] %s",
+                                {k: round(float(v), 4) for k, v in eval_results.items()
+                                 if np.isscalar(v)})
+                    best_eval = save_experiment(
+                        output_dir,
+                        {"params": jax.tree.map(np.asarray, params),
+                         "opt_state": jax.tree.map(
+                             lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                             opt_state)},
+                        conf, epoch, iteration,
+                        eval_results=eval_results, best_eval=best_eval,
+                        cp_name=f"checkpoint_{epoch}_{iteration}"
+                        + ("_interrupted" if stop["flag"] else "") + ".ckpt",
+                        keep_last=int(conf.train.keep_last_checkpoints),
+                    )
+                if stop["flag"]:
+                    logger.info("Stopped by SIGINT at iter %d", iteration)
+                    return params
+                steps_in_epoch += 1
+                cap = conf.train.num_steps_per_epoch
+                if cap is not None and steps_in_epoch >= int(cap):
+                    break
+            # end of epoch checkpoint
+            eval_results = do_evaluation(model, params, val_loader)
+            best_eval = save_experiment(
+                output_dir,
+                {"params": jax.tree.map(np.asarray, params),
+                 "opt_state": jax.tree.map(
+                     lambda x: np.asarray(x) if hasattr(x, "shape") else x, opt_state)},
+                conf, epoch, iteration,
+                eval_results=eval_results, best_eval=best_eval,
+                keep_last=int(conf.train.keep_last_checkpoints),
+            )
+    finally:
+        signal.signal(signal.SIGINT, old_handler)
+        if profile:
+            jax.profiler.stop_trace()
+            logger.info("Wrote profiler trace to %s", output_dir / "profile")
+    logger.info("Finished training at epoch %d iter %d", int(conf.train.epochs), iteration)
+    return params
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("experiment")
+    parser.add_argument("--conf", type=str, default=None)
+    parser.add_argument("--restore", action="store_true")
+    parser.add_argument("--overfit", action="store_true")
+    parser.add_argument("--profile", action="store_true")
+    parser.add_argument("--no_log_capture", action="store_true")
+    parser.add_argument("dotlist", nargs="*")
+    args = parser.parse_args()
+
+    conf = Config(default_conf)
+    if args.conf:
+        conf = conf.merge(Config.load(args.conf))
+    conf = conf.merge(Config.from_cli(args.dotlist))
+    if args.overfit:
+        conf["train.overfit"] = True
+    conf.freeze()
+    output_dir = TRAINING_PATH / args.experiment
+    if args.no_log_capture or jax.process_index() != 0:
+        training(conf, output_dir, args)
+    else:
+        from .utils.stdout_capturing import capture_outputs
+
+        output_dir.mkdir(parents=True, exist_ok=True)
+        with capture_outputs(output_dir / "log.txt"):
+            training(conf, output_dir, args)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,3 +50,37 @@ def test_matching_score():
     valid = jnp.ones((1, 4), bool)
     ms = matching_score(m0, gt, valid)
     assert abs(float(ms[0]) - 2 / 3) < 1e-6
+
+
+def test_desc_losses():
+    import jax
+    from gluefactory_tpu.models.utils.desc_losses import (
+        caps_window_loss, nll_desc_loss, triplet_loss,
+    )
+
+    g = np.random.default_rng(3)
+    B, N, D = 2, 16, 8
+    d0 = g.normal(size=(B, N, D)).astype(np.float32)
+    d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
+    perm = g.permutation(N)
+    d1 = d0[:, perm]
+    gt = np.tile(np.argsort(perm), (B, 1)).astype(np.int32)
+    # perfect correspondence: losses near their floors
+    tl = triplet_loss(jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(gt))
+    nl = nll_desc_loss(jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(gt))
+    assert float(np.asarray(tl).mean()) < 0.6
+    # wrong correspondence must cost much more
+    gt_bad = (gt + 3) % N
+    tl_bad = triplet_loss(jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(gt_bad))
+    nl_bad = nll_desc_loss(jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(gt_bad))
+    assert float(np.asarray(tl_bad).mean()) > float(np.asarray(tl).mean())
+    assert float(np.asarray(nl_bad).mean()) > float(np.asarray(nl).mean())
+    # caps: descriptor map whose center matches -> near-zero expected offset
+    dense = g.normal(size=(B, 32, 32, D)).astype(np.float32)
+    kpts = g.uniform(8, 24, size=(B, N, 2)).astype(np.float32)
+    from gluefactory_tpu.ops.interpolate import bilinear_sample
+    d_center = np.array(bilinear_sample(jnp.asarray(dense), jnp.asarray(kpts)))
+    d_center /= np.linalg.norm(d_center, axis=-1, keepdims=True)
+    cl = caps_window_loss(jnp.asarray(d_center), jnp.asarray(kpts), jnp.asarray(dense),
+                          temperature=0.01)
+    assert float(np.asarray(cl).mean()) < 1.5

@@ -160,3 +160,35 @@ def test_lbd_descriptor_and_matcher():
     m0 = np.asarray(pred["line_matches0"][0])[:n]
     expected = np.argsort(perm)
     assert (m0 == expected).mean() > 0.8, (m0, expected)
+
+
+def test_gt_line_matches_from_pose_depth_plane():
+    """On the synthetic fronto-parallel plane (uniform depth), line GT from
+    depth must recover the identity correspondence of shifted lines."""
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.geometry.lines import gt_line_matches_from_pose_depth
+    from gluefactory_tpu.geometry.wrappers import Camera, Pose
+
+    H, W, f, z, tx = 120, 160, 200.0, 5.0, 0.6  # 24px disparity
+    cam = Camera.from_fc(size=jnp.array([[W, H]], jnp.float32),
+                         f=jnp.array([[f, f]]), c=jnp.array([[W / 2, H / 2]]))
+    T = Pose.from_Rt(jnp.eye(3)[None], jnp.array([[-tx, 0.0, 0.0]]))
+    depth = jnp.full((1, H, W), z)
+    g = np.random.default_rng(2)
+    L = 6
+    l0 = g.uniform([30, 20], [W - 10, H - 20], size=(L, 2, 2)).astype(np.float32)
+    disp = f * tx / z
+    l1 = l0.copy()
+    l1[..., 0] -= disp
+    perm = g.permutation(L)
+    out = gt_line_matches_from_pose_depth(
+        jnp.asarray(l0)[None], jnp.asarray(l1[perm])[None],
+        jnp.ones((1, L), bool), jnp.ones((1, L), bool),
+        depth, depth, cam, cam, T, dist_th=3.0,
+    )
+    m0 = np.asarray(out["line_matches0"][0])
+    matched = m0 >= 0
+    assert matched.sum() >= L - 1  # borders may clip one
+    expected = np.argsort(perm)
+    assert (m0[matched] == expected[matched]).all()
