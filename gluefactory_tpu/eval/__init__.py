@@ -2,11 +2,14 @@
 
 
 def get_benchmark(name: str):
-    from . import hpatches, megadepth1500
+    from . import eth3d, hpatches, hpatches_extended, megadepth1500, scannet1500
 
     benchmarks = {
         "hpatches": hpatches.HPatchesPipeline,
+        "hpatches_extended": hpatches_extended.HPatchesExtendedPipeline,
         "megadepth1500": megadepth1500.MegaDepth1500Pipeline,
+        "scannet1500": scannet1500.ScanNet1500Pipeline,
+        "eth3d": eth3d.ETH3DPipeline,
     }
     return benchmarks[name]
 

@@ -61,12 +61,18 @@ def load_model(model_conf: Config, checkpoint: str | None, init_seed: int = 0):
 
 
 def restore_params(template_params, flat_params):
-    """Restore flat checkpoint params into an initialized template."""
+    """Restore flat checkpoint params into an initialized template. A live
+    param TREE (e.g. passed by the in-training benchmark hook) is used
+    as-is."""
     from ..utils.experiments import restore_from_flat_dict
 
     if flat_params is None:
         return template_params
-    return restore_from_flat_dict(template_params, flat_params)
+    if isinstance(flat_params, dict) and any(
+        isinstance(k, str) and "[" in k for k in flat_params
+    ):
+        return restore_from_flat_dict(template_params, flat_params)
+    return flat_params
 
 
 def get_eval_parser() -> argparse.ArgumentParser:

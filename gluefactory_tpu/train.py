@@ -67,6 +67,9 @@ default_train_conf = {
     "num_steps_per_epoch": None,  # cap steps (useful for synthetic data)
     "mixed_precision": None,  # null | "bf16" (activations cast in-model)
     "log_dir": None,
+    # in-training benchmarks (reference train.py:375-392): list of
+    # {name: hpatches|megadepth1500|..., conf: {...}} run at each epoch end
+    "run_benchmarks": [],
 }
 
 default_conf = {
@@ -421,7 +424,24 @@ def training(conf: Config, output_dir: Path, args=None):
                 cap = conf.train.num_steps_per_epoch
                 if cap is not None and steps_in_epoch >= int(cap):
                     break
-            # end of epoch checkpoint
+            # end-of-epoch benchmarks on the live params (rank 0)
+            if conf.train.run_benchmarks and jax.process_index() == 0:
+                from .eval import run_benchmark
+
+                for bench in list(conf.train.run_benchmarks):
+                    bname = bench["name"] if isinstance(bench, dict) else bench.name
+                    bconf = bench.get("conf", {}) if hasattr(bench, "get") else {}
+                    try:
+                        s, _ = run_benchmark(
+                            bname, bconf, output_dir / "benchmarks" / bname / f"e{epoch}",
+                            model=model, params=params,
+                        )
+                        writer.write(
+                            {f"bench/{bname}/{k}": v for k, v in s.items()
+                             if isinstance(v, (int, float))}, iteration,
+                        )
+                    except Exception as e:  # benchmark data may be absent
+                        logger.warning("benchmark %s failed: %s", bname, e)
             eval_results = do_evaluation(model, params, val_loader)
             best_eval = save_experiment(
                 output_dir,
