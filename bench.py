@@ -43,7 +43,22 @@ def main():
     import jax.numpy as jnp
 
     @jax.jit
-    def fwd_sum(params, data):
+    def fwd_sum(params, seed):
+        # Inputs are generated ON DEVICE from the seed: every call is unique
+        # (no cache can serve it) and nothing rides the host link.
+        key = jax.random.key(seed)
+        k0, k1 = jax.random.split(key)
+        size = jnp.full((BATCH, 2), float(IMAGE_SIZE), jnp.float32)
+        data = {
+            "view0": {
+                "image": jax.random.uniform(k0, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)),
+                "image_size": size,
+            },
+            "view1": {
+                "image": jax.random.uniform(k1, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)),
+                "image_size": size,
+            },
+        }
         pred = model.apply(params, data)
         # On-device checksum of the key outputs: forces the whole graph to
         # execute and keeps the host transfer to one scalar. (Through remote
@@ -54,17 +69,10 @@ def main():
             + jnp.sum(pred["keypoints1"])
         )
 
-    # every timed call gets UNIQUE device-resident input so no layer of the
-    # stack can serve a cached result; shapes stay static so there is exactly
-    # one compilation.
-    datas = [
-        jax.device_put(_synthetic_batch(BATCH, IMAGE_SIZE, rng_seed=i, with_h=False))
-        for i in range(WARMUP + ITERS)
-    ]
     for i in range(WARMUP):
-        float(fwd_sum(params, datas[i]))
+        float(fwd_sum(params, i))
     t0 = time.perf_counter()
-    outs = [fwd_sum(params, datas[WARMUP + i]) for i in range(ITERS)]
+    outs = [fwd_sum(params, WARMUP + i) for i in range(ITERS)]
     checks = [float(x) for x in outs]
     dt = time.perf_counter() - t0
     assert all(np.isfinite(c) for c in checks)
