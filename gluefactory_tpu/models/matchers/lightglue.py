@@ -422,3 +422,88 @@ class LightGlue(BaseModel):
 
 
 __main_model__ = LightGlue
+
+
+def torch_weight_converter(state_dict: dict, conf: "Config | dict | None" = None) -> dict:
+    """Map the official LightGlue checkpoint (torch state_dict of
+    github.com/cvg/LightGlue; reference lightglue.py param names) onto this
+    module's flax param tree. Input: name -> numpy array.
+
+    Layout notes:
+      - torch Linear weight (out, in) -> flax Dense kernel (in, out) = W.T;
+      - the official Wqkv unflattens its output as (heads, head_dim, 3) while
+        this implementation reshapes as (heads, 3, head_dim): rows of Wqkv
+        (and bias entries) are permuted accordingly;
+      - LayerNorm: weight -> scale.
+    """
+    import numpy as np
+
+    cfg = LightGlue.collect_default_conf().merge(conf or {})
+    d = int(cfg.descriptor_dim)
+    h = int(cfg.num_heads)
+    hd = d // h
+    L = int(cfg.n_layers)
+
+    def lin(prefix):
+        out = {"kernel": np.asarray(state_dict[f"{prefix}.weight"]).T}
+        if f"{prefix}.bias" in state_dict:
+            out["bias"] = np.asarray(state_dict[f"{prefix}.bias"])
+        return out
+
+    def norm(prefix):
+        return {
+            "scale": np.asarray(state_dict[f"{prefix}.weight"]),
+            "bias": np.asarray(state_dict[f"{prefix}.bias"]),
+        }
+
+    # permutation of the 3d qkv output rows: ours[o'] = theirs[perm[o']]
+    perm = np.empty(3 * d, dtype=np.int64)
+    for head in range(h):
+        for which in range(3):
+            for dim in range(hd):
+                ours = head * (3 * hd) + which * hd + dim
+                theirs = head * (hd * 3) + dim * 3 + which
+                perm[ours] = theirs
+
+    def qkv(prefix):
+        w = np.asarray(state_dict[f"{prefix}.weight"])  # (3d, d)
+        b = np.asarray(state_dict[f"{prefix}.bias"])
+        return {"kernel": w[perm].T, "bias": b[perm]}
+
+    def ffn(prefix):
+        return {
+            "ffn_0": lin(f"{prefix}.0"),
+            "ffn_norm": norm(f"{prefix}.1"),
+            "ffn_2": lin(f"{prefix}.3"),
+        }
+
+    params: dict = {
+        "input_proj": lin("input_proj"),
+        "posenc": {"kernel": np.asarray(state_dict["posenc.Wr.weight"]).T},
+    }
+    for i in range(L):
+        t = f"transformers.{i}"
+        self_attn = {
+            "Wqkv": qkv(f"{t}.self_attn.Wqkv"),
+            "out_proj": lin(f"{t}.self_attn.out_proj"),
+            **ffn(f"{t}.self_attn.ffn"),
+        }
+        cross_attn = {
+            "to_qk": lin(f"{t}.cross_attn.to_qk"),
+            "to_v": lin(f"{t}.cross_attn.to_v"),
+            "to_out": lin(f"{t}.cross_attn.to_out"),
+            "ffn": ffn(f"{t}.cross_attn.ffn"),
+        }
+        params[f"transformers_{i}"] = {
+            "self_attn": self_attn,
+            "cross_attn": cross_attn,
+        }
+        params[f"log_assignment_{i}"] = {
+            "final_proj": lin(f"log_assignment.{i}.final_proj"),
+            "matchability": lin(f"log_assignment.{i}.matchability"),
+        }
+        if i < L - 1:
+            params[f"token_confidence_{i}"] = {
+                "token": lin(f"token_confidence.{i}.token.0"),
+            }
+    return {"params": params}

@@ -121,6 +121,7 @@ def attention_pallas(
     v: jnp.ndarray,
     kv_mask: jnp.ndarray | None = None,
     block_q: int = 256,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     b, h, nq, d = q.shape
     nk = k.shape[2]
@@ -157,7 +158,98 @@ def attention_pallas(
             bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
             transcendentals=b * h * nq_p * nk_p,
         ),
+        interpret=interpret,
     )(qp, kp, vp, maskp)
+    return out[:, :nq, :d].reshape(b, h, nq, d)
+
+
+def _attn_rotary_kernel(q_ref, k_ref, v_ref, cos_ref, sin_ref, mask_ref, o_ref,
+                        *, scale: float):
+    """Self-attention with the rotary embedding FUSED into the kernel: q and k
+    are rotated in VMEM right before the score matmul, so the rotated copies
+    never round-trip HBM (reference applies rotary as a separate op,
+    lightglue.py:42-44)."""
+    def rot(x, cos, sin):
+        x1 = x[:, 0::2]
+        x2 = x[:, 1::2]
+        # interleave(-x2, x1): reconstruct via stacking on a new trailing axis
+        rx = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+        return x * cos + rx * sin
+
+    cos = cos_ref[0].astype(jnp.float32)  # (bq, D) — q-block positions
+    sin = sin_ref[0].astype(jnp.float32)
+    q = rot(q_ref[0].astype(jnp.float32), cos, sin)
+    k = k_ref[0].astype(jnp.float32)  # arrives pre-rotated (full token set)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    mask = mask_ref[0] > 0
+    s = jnp.where(mask, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    e = jnp.where(mask, e, 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.maximum(denom, 1e-30)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def attention_pallas_rotary(
+    q: jnp.ndarray,
+    k_rotated: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    kv_mask: jnp.ndarray | None = None,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Self-attention with q-rotary fused in-kernel. ``k_rotated`` must be
+    pre-rotated (K is consumed whole per program, so rotating it once outside
+    costs one pass; q is streamed in blocks and rotated in VMEM).
+    cos/sin: (B, N, head_dim) shared across heads."""
+    b, h, nq, d = q.shape
+    nk = k_rotated.shape[2]
+    scale = d**-0.5
+    nq_p = max(block_q, ((nq + block_q - 1) // block_q) * block_q)
+    nk_p = max(128, ((nk + 127) // 128) * 128)
+    d_p = max(128, ((d + 127) // 128) * 128)
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, nk), dtype=jnp.int32)
+    else:
+        kv_mask = kv_mask.astype(jnp.int32)
+    qp = _pad_to(_pad_to(q.reshape(b * h, nq, d), nq_p, axis=1), d_p, axis=2)
+    kp = _pad_to(_pad_to(k_rotated.reshape(b * h, nk, d), nk_p, axis=1), d_p, axis=2)
+    vp = _pad_to(_pad_to(v.reshape(b * h, nk, d), nk_p, axis=1), d_p, axis=2)
+    # cos/sin: broadcast over heads; pad rotary coeffs with cos=1, sin=0 so
+    # the padded head-dim lanes stay untouched
+    cosp = _pad_to(_pad_to(jnp.repeat(cos[:, None], h, 1).reshape(b * h, nq, d),
+                           nq_p, axis=1, value=1.0), d_p, axis=2, value=1.0)
+    sinp = _pad_to(_pad_to(jnp.repeat(sin[:, None], h, 1).reshape(b * h, nq, d),
+                           nq_p, axis=1), d_p, axis=2)
+    maskp = _pad_to(kv_mask, nk_p, axis=1, value=0)
+    maskp = jnp.repeat(maskp[:, None, :], h, axis=0).reshape(b * h, 1, nk_p)
+    grid = (b * h, nq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(_attn_rotary_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_p, d_p), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_p, d_p), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d_p), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nk_p), lambda bh, i: (bh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d_p), lambda bh, i: (bh, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, d_p), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, cosp, sinp, maskp)
     return out[:, :nq, :d].reshape(b, h, nq, d)
 
 

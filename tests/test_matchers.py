@@ -163,3 +163,71 @@ def test_lightglue_adaptive_inference():
     assert "prune0" in pred and pred["prune0"].shape == (B, N)
     assert np.asarray(pred["prune0"]).min() >= 1
     assert np.isfinite(np.asarray(pred["log_assignment"])).any()
+
+
+def test_lightglue_torch_weight_converter():
+    """The converter must produce exactly the model's param tree (structure +
+    shapes) and permute the fused QKV rows correctly."""
+    from gluefactory_tpu.models.matchers.lightglue import torch_weight_converter
+
+    conf = {**LG_CONF}
+    model = build_model("matchers.lightglue", conf)
+    data, gt_m0 = make_match_data()
+    data_init = {**data, "gt_matches0": jnp.asarray(gt_m0),
+                 "gt_matches1": jnp.full((B, N), -2)}
+    # forward_and_loss creates ALL per-layer assignment/confidence heads
+    template = model.init(jax.random.key(0), data_init, method=model.forward_and_loss)
+
+    d, h, L = D, conf["num_heads"], conf["n_layers"]
+    g = np.random.default_rng(0)
+    sd = {}
+
+    def add_lin(name, out_d, in_d, bias=True):
+        sd[f"{name}.weight"] = g.normal(size=(out_d, in_d)).astype(np.float32)
+        if bias:
+            sd[f"{name}.bias"] = g.normal(size=(out_d,)).astype(np.float32)
+
+    add_lin("input_proj", d, d)
+    sd["posenc.Wr.weight"] = g.normal(size=(d // h // 2, 2)).astype(np.float32)
+    for i in range(L):
+        add_lin(f"transformers.{i}.self_attn.Wqkv", 3 * d, d)
+        add_lin(f"transformers.{i}.self_attn.out_proj", d, d)
+        add_lin(f"transformers.{i}.self_attn.ffn.0", 2 * d, 2 * d)
+        add_lin(f"transformers.{i}.self_attn.ffn.1", 2 * d, 0)  # LayerNorm
+        sd[f"transformers.{i}.self_attn.ffn.1.weight"] = g.normal(size=(2 * d,)).astype(np.float32)
+        add_lin(f"transformers.{i}.self_attn.ffn.3", d, 2 * d)
+        add_lin(f"transformers.{i}.cross_attn.to_qk", d, d)
+        add_lin(f"transformers.{i}.cross_attn.to_v", d, d)
+        add_lin(f"transformers.{i}.cross_attn.to_out", d, d)
+        add_lin(f"transformers.{i}.cross_attn.ffn.0", 2 * d, 2 * d)
+        sd[f"transformers.{i}.cross_attn.ffn.1.weight"] = g.normal(size=(2 * d,)).astype(np.float32)
+        sd[f"transformers.{i}.cross_attn.ffn.1.bias"] = g.normal(size=(2 * d,)).astype(np.float32)
+        add_lin(f"transformers.{i}.cross_attn.ffn.3", d, 2 * d)
+        add_lin(f"log_assignment.{i}.final_proj", d, d)
+        add_lin(f"log_assignment.{i}.matchability", 1, d)
+        if i < L - 1:
+            add_lin(f"token_confidence.{i}.token.0", 1, d)
+
+    converted = torch_weight_converter(sd, conf)
+    # identical tree structure and leaf shapes
+    t_paths = jax.tree_util.tree_structure(template)
+    c_paths = jax.tree_util.tree_structure(converted)
+    assert t_paths == c_paths, (t_paths, c_paths)
+    for a, b in zip(jax.tree.leaves(template), jax.tree.leaves(converted)):
+        assert a.shape == b.shape, (a.shape, b.shape)
+
+    # qkv permutation correctness: torch split vs our split must agree
+    W = sd["transformers.0.self_attn.Wqkv.weight"]
+    bvec = sd["transformers.0.self_attn.Wqkv.bias"]
+    x = g.normal(size=(5, d)).astype(np.float32)
+    y = x @ W.T + bvec
+    hd = d // h
+    theirs = y.reshape(5, h, hd, 3)
+    q_t, k_t, v_t = theirs[..., 0], theirs[..., 1], theirs[..., 2]
+    kern = np.asarray(converted["params"]["transformers_0"]["self_attn"]["Wqkv"]["kernel"])
+    bias = np.asarray(converted["params"]["transformers_0"]["self_attn"]["Wqkv"]["bias"])
+    y2 = x @ kern + bias
+    ours = y2.reshape(5, h, 3, hd)
+    np.testing.assert_allclose(ours[:, :, 0], q_t, atol=1e-5)
+    np.testing.assert_allclose(ours[:, :, 1], k_t, atol=1e-5)
+    np.testing.assert_allclose(ours[:, :, 2], v_t, atol=1e-5)

@@ -145,3 +145,42 @@ def test_log_double_softmax_bins():
     assert out.shape == (b, n + 1, m + 1)
     P = np.exp(np.asarray(out[0, :n, :]))
     assert np.all(P <= 1.0 + 1e-5)
+
+
+def test_pallas_attention_interpret_matches_xla():
+    """The Pallas kernel (interpret mode on CPU) must match the XLA path,
+    including padding-mask semantics and non-multiple-of-block shapes."""
+    from gluefactory_tpu.ops.attention import attention_pallas
+
+    b, h, n, m, d = 2, 4, 100, 70, 64  # deliberately unaligned
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, m, d)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(b, m)) > 0.3)
+    out_pl = attention_pallas(q, k, v, kv_mask=mask, interpret=True)
+    out_ref = attention_xla(q, k, v, kv_mask=mask)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref), atol=2e-5)
+    # no mask
+    out_pl2 = attention_pallas(q, k, v, interpret=True)
+    out_ref2 = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_pl2), np.asarray(out_ref2), atol=2e-5)
+
+
+def test_pallas_rotary_attention_interpret():
+    from gluefactory_tpu.ops.attention import (
+        apply_rotary, attention_pallas_rotary, attention_xla,
+    )
+
+    b, h, n, d = 1, 2, 50, 32
+    q = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, n, d)), jnp.float32)
+    theta = jnp.asarray(rng.normal(size=(b, n, d // 2)), jnp.float32)
+    cos = jnp.repeat(jnp.cos(theta), 2, -1)
+    sin = jnp.repeat(jnp.sin(theta), 2, -1)
+    mask = jnp.asarray(rng.uniform(size=(b, n)) > 0.2)
+    k_rot = apply_rotary(k, cos, sin)
+    out_fused = attention_pallas_rotary(q, k_rot, v, cos, sin, kv_mask=mask,
+                                        interpret=True)
+    out_ref = attention_xla(apply_rotary(q, cos, sin), k_rot, v, kv_mask=mask)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref), atol=2e-5)
