@@ -80,6 +80,7 @@ class HomographyDataset(BaseDataset):
         "synthetic": False,
         "synthetic_size": 20000,
         "synthetic_source_size": [800, 600],
+        "source_cache_size": 2048,  # in-memory source-image cache (per worker)
         "train_size": 100000,
         "val_size": 500,
         "image_size": 320,  # static square canvas per view
@@ -130,6 +131,9 @@ class _HomographySplit:
         self.conf = parent.conf
         self.parent = parent
         self.split = split
+        self._cache: dict = {}  # idx -> source image (procedural generation
+        # and JPEG decode dominate the step time otherwise)
+        self._cache_cap = int(self.conf.get("source_cache_size", 2048))
 
     def __len__(self):
         conf = self.conf
@@ -140,6 +144,15 @@ class _HomographySplit:
         return min(n, int(conf.val_size if self.split == "val" else conf.train_size))
 
     def _source_image(self, idx: int, rng: np.random.Generator) -> np.ndarray:
+        cached = self._cache.get(idx)
+        if cached is not None:
+            return cached
+        img = self._load_source_image(idx)
+        if len(self._cache) < self._cache_cap:
+            self._cache[idx] = img
+        return img
+
+    def _load_source_image(self, idx: int) -> np.ndarray:
         conf = self.conf
         if conf.synthetic:
             # val uses a disjoint seed stream from train
