@@ -29,7 +29,43 @@ WARMUP = 3
 ITERS = 10
 
 
+def _probe_backend(timeout_s: float = 240.0) -> bool:
+    """The axon tunnel sometimes wedges so hard that even a trivial matmul
+    never returns; probe it in a daemon thread so the bench process can bail
+    out instead of hanging the driver."""
+    import threading
+
+    ok = {"done": False}
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        float((jnp.ones((64, 64)) @ jnp.ones((64, 64))).sum())
+        ok["done"] = True
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok["done"]
+
+
 def main():
+    if not _probe_backend():
+        print(
+            json.dumps(
+                {
+                    "metric": "sp+lightglue_pair_throughput_backend_unreachable",
+                    "value": 0.0,
+                    "unit": "pairs/s",
+                    "vs_baseline": 0.0,
+                }
+            )
+        )
+        import os
+
+        os._exit(0)
+
     import jax
 
     from __graft_entry__ import _flagship_conf, _synthetic_batch

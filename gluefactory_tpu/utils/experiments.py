@@ -36,11 +36,12 @@ def restore_from_flat_dict(target, flat: dict):
     for path, leaf in paths_and_leaves:
         key = jax.tree_util.keystr(path)
         if key in flat:
-            arr = flat[key]
-            new_leaves.append(
-                jax.numpy.asarray(arr).astype(leaf.dtype)
-                if hasattr(leaf, "dtype") else arr
-            )
+            # stay on host (numpy): per-leaf device_put is pathologically slow
+            # through remote TPU tunnels; callers device_put the whole tree
+            arr = np.asarray(flat[key])
+            if hasattr(leaf, "dtype"):
+                arr = arr.astype(leaf.dtype)
+            new_leaves.append(arr)
         else:
             logger.warning("Checkpoint missing %s; keeping initialized value", key)
             new_leaves.append(leaf)
