@@ -45,7 +45,6 @@ def orth_line_dist(segs0: jnp.ndarray, segs1: jnp.ndarray) -> jnp.ndarray:
     (reference utils/ls_evaluation.py:get_orth_line_dist:177). (..., L0, L1)."""
     ep0 = segs0.reshape(*segs0.shape[:-3], -1, 2)  # (..., 2*L0, 2)
     d01, _ = project_point_to_line(ep0, segs1)  # (..., 2*L0, L1)
-    l0 = segs0.shape[-3]
     d01 = 0.5 * (d01[..., 0::2, :] + d01[..., 1::2, :])  # (..., L0, L1)
     ep1 = segs1.reshape(*segs1.shape[:-3], -1, 2)
     d10, _ = project_point_to_line(ep1, segs0)  # (..., 2*L1, L0)

@@ -146,7 +146,6 @@ class Pose:
     def J_transform(self, p3d_out: jnp.ndarray) -> jnp.ndarray:
         """Jacobian (..., N, 3, 6) of transformed point w.r.t. a left-applied
         se(3) perturbation (reference wrappers.py:210-220)."""
-        n = p3d_out.shape[-2]
         J_rot = -skew_symmetric(p3d_out)  # (..., N, 3, 3)
         J_trans = jnp.broadcast_to(
             jnp.eye(3, dtype=p3d_out.dtype), (*p3d_out.shape[:-1], 3, 3)

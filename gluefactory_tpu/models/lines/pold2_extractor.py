@@ -101,9 +101,8 @@ class POLD2Extractor(BaseModel):
         # ---- select top-L surviving candidates by score --------------------
         score = jnp.where(keep, inlier_f * (1.0 / (1.0 + mean_df)), -1.0)
         L = int(conf.max_num_lines)
-        top_scores, top_idx = jnp.sort(score, axis=-1)[:, ::-1][:, :L], jnp.argsort(
-            -score, axis=-1
-        )[:, :L]
+        top_idx = jnp.argsort(-score, axis=-1)[:, :L]
+        top_scores = jnp.take_along_axis(score, top_idx, axis=-1)
         lines = jnp.stack(
             [
                 jnp.take_along_axis(p0, top_idx[..., None], axis=1),
