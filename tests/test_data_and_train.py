@@ -120,3 +120,37 @@ def test_training_smoke(tmp_path):
     blob, conf2 = load_experiment(ckpts[-1])
     assert "params" in blob["state"]
     assert conf2.model.name == "two_view_pipeline"
+
+
+@pytest.mark.slow
+def test_finetune_from_experiment(tmp_path, monkeypatch):
+    """train -> checkpoint -> fine-tune via train.load_experiment end-to-end
+    (the restore path that wedged on the TPU tunnel must be sound on CPU)."""
+    import gluefactory_tpu.utils.experiments as exp_mod
+    from gluefactory_tpu.train import default_conf, training
+
+    monkeypatch.setattr(exp_mod, "TRAINING_PATH", tmp_path)
+    base = Config(default_conf).merge(
+        {
+            "data": TINY_DATA,
+            "model": TINY_MODEL,
+            "train": {"seed": 0, "epochs": 1, "num_steps_per_epoch": 2,
+                      "log_every_iter": 2, "eval_every_iter": 100},
+        }
+    )
+    base.freeze()
+    training(base, tmp_path / "expA")
+    ft = Config(default_conf).merge(
+        {
+            "data": TINY_DATA,
+            "model": TINY_MODEL,
+            "train": {"seed": 1, "epochs": 1, "num_steps_per_epoch": 2,
+                      "log_every_iter": 2, "eval_every_iter": 100,
+                      "load_experiment": "expA"},
+        }
+    )
+    ft.freeze()
+    params = training(ft, tmp_path / "expB")
+    import jax
+
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params))
