@@ -125,6 +125,10 @@ class HPatchesPipeline(EvalPipeline):
         summaries.update(
             eval_poses(pose_results, auc_ths=[1, 3, 5], key="H_error_ransac", unit="px")
         )
+        best_th = summaries["best_ransac_th"]
+        results["H_error_ransac"] = [
+            r["H_error_ransac"] for r in pose_results[best_th]
+        ]
         return summaries, {}, dict(results)
 
 

@@ -123,6 +123,10 @@ class MegaDepth1500Pipeline(EvalPipeline):
         summaries.update(
             eval_poses(pose_results, auc_ths=[5, 10, 20], key="rel_pose_error", unit="°")
         )
+        best_th = summaries["best_ransac_th"]
+        results["rel_pose_error"] = [
+            r["rel_pose_error"] for r in pose_results[best_th]
+        ]
         return summaries, {}, dict(results)
 
 
