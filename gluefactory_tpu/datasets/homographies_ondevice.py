@@ -1,0 +1,319 @@
+"""On-device homography data engine — TPU-native stage-1 training data
+(reference: gluefactory/datasets/homographies.py:47-311, re-designed).
+
+The reference (and the round-1 ``homographies`` dataset here) generates each
+training pair on the host CPU — decode/draw a source image, cv2.warpPerspective
+twice, photometric augmentation — and ships the full image batch to the
+accelerator every step. Through a remote TPU link that is the bottleneck
+(measured ~2 samples/s end-to-end).
+
+This engine instead keeps a fixed *pool* of source images resident in HBM
+(uint8, uploaded once) and performs ALL per-step work inside the jitted train
+step, keyed by a single scalar seed:
+
+  pool gather -> sample_homography_batch (geometry/homography.py, in-jit)
+  -> warp_image (ops/warp.py) -> photometric_augment (ops/photometric.py)
+  -> exact keypoint GT warping + H_0to1 composition.
+
+Per-step host->device traffic is ONE int seed. The same engine serves
+SuperPoint training (``gt_keypoints*`` labels come from the procedural
+drawing's exact vertices) and LightGlue/GlueStick training (``H_0to1`` feeds
+the homography ground-truth matcher in-jit).
+
+The pool can be procedural (zero downloads; default) or built from a folder
+of real images when data is present.
+"""
+
+from __future__ import annotations
+
+from typing import ClassVar
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.homography import sample_homography_batch, warp_points
+from ..ops.photometric import photometric_augment
+from ..ops.warp import warp_image
+from .base_dataset import BaseDataset
+
+
+def generate_structured_scene(
+    rng: np.random.Generator, size: tuple[int, int], max_points: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Procedural grayscale scene with exact corner ground truth.
+
+    Draws filled polygons, rectangles, checkerboards, lines and ellipses on a
+    shaded background; every polygon vertex / rectangle corner / checker
+    corner / line endpoint is recorded as a GT keypoint.
+
+    Returns (image (h, w, 1) float32 in [0,1], points (max_points, 2),
+    valid (max_points,)).
+    """
+    w, h = size
+    gx = np.linspace(0, 1, w, dtype=np.float32)[None, :]
+    gy = np.linspace(0, 1, h, dtype=np.float32)[:, None]
+    a, b, c = rng.uniform(0.1, 0.9, 3)
+    img = np.ascontiguousarray((a * gx + b * gy + c) / (a + b + c + 1e-8))
+    img *= rng.uniform(0.3, 0.9)
+    points: list[np.ndarray] = []
+
+    def add_pts(pts):
+        for p in np.atleast_2d(pts):
+            if 2 <= p[0] < w - 2 and 2 <= p[1] < h - 2:
+                points.append(np.asarray(p, np.float32))
+
+    n_shapes = int(rng.integers(12, 26))
+    for _ in range(n_shapes):
+        color = float(rng.uniform(0, 1))
+        kind = int(rng.integers(0, 5))
+        if kind == 0:  # polygon
+            n_pts = int(rng.integers(3, 7))
+            cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+            r = rng.uniform(10, min(w, h) / 4)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, n_pts))
+            pts = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], -1)
+            cv2.fillPoly(img, [pts.astype(np.int32)], color)
+            add_pts(pts.astype(np.int32).astype(np.float32))
+        elif kind == 1:  # rectangle
+            x0, y0 = rng.uniform(0, w - 20), rng.uniform(0, h - 20)
+            x1, y1 = x0 + rng.uniform(10, w / 3), y0 + rng.uniform(10, h / 3)
+            x0, y0, x1, y1 = int(x0), int(y0), int(x1), int(y1)
+            cv2.rectangle(img, (x0, y0), (x1, y1), color, -1)
+            add_pts(np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32))
+        elif kind == 2:  # checkerboard patch
+            rows, cols = int(rng.integers(2, 5)), int(rng.integers(2, 5))
+            cell = int(rng.uniform(8, min(w, h) / 10))
+            x0, y0 = int(rng.uniform(0, w - cols * cell)), int(rng.uniform(0, h - rows * cell))
+            c2 = float(rng.uniform(0, 1))
+            for i in range(rows):
+                for j in range(cols):
+                    cv2.rectangle(
+                        img,
+                        (x0 + j * cell, y0 + i * cell),
+                        (x0 + (j + 1) * cell, y0 + (i + 1) * cell),
+                        color if (i + j) % 2 == 0 else c2,
+                        -1,
+                    )
+            corners = np.stack(
+                np.meshgrid(
+                    x0 + cell * np.arange(cols + 1), y0 + cell * np.arange(rows + 1)
+                ),
+                -1,
+            ).reshape(-1, 2)
+            add_pts(corners.astype(np.float32))
+        elif kind == 3:  # line
+            p0 = rng.uniform([0, 0], [w, h]).astype(int)
+            p1 = rng.uniform([0, 0], [w, h]).astype(int)
+            cv2.line(img, tuple(p0), tuple(p1), color, int(rng.integers(1, 4)))
+            add_pts(np.stack([p0, p1]).astype(np.float32))
+        else:  # ellipse (texture, no corner GT)
+            cv2.ellipse(
+                img,
+                (int(rng.uniform(0, w)), int(rng.uniform(0, h))),
+                (int(rng.uniform(5, w / 6)), int(rng.uniform(5, h / 6))),
+                float(rng.uniform(0, 180)), 0, 360, color, -1,
+            )
+    img += rng.normal(0, 0.015, img.shape).astype(np.float32)
+    img = np.clip(img, 0.0, 1.0)[..., None]
+
+    pts = np.zeros((max_points, 2), np.float32)
+    valid = np.zeros((max_points,), bool)
+    if points:
+        arr = np.unique(np.stack(points), axis=0)
+        if len(arr) > max_points:
+            arr = arr[rng.permutation(len(arr))[:max_points]]
+        pts[: len(arr)] = arr
+        valid[: len(arr)] = True
+    return img, pts, valid
+
+
+class OnDeviceHomographyDataset(BaseDataset):
+    """Pool-in-HBM homography pair engine. ``device_engine = True`` switches
+    the trainer (train.py) to the in-jit batch construction path."""
+
+    device_engine: ClassVar[bool] = True
+
+    default_conf: ClassVar[dict] = {
+        "name": "homographies_ondevice",
+        "pool_size": 512,
+        "val_pool_size": 48,
+        "source_size": [448, 448],  # pool image size (w, h)
+        "image_size": 320,  # canvas per view
+        "max_gt_points": 192,
+        "data_dir": None,  # folder of real images for the pool (else procedural)
+        "glob": ["*.jpg", "*.png", "*.jpeg", "*.ppm"],
+        "train_batch_size": 32,
+        "val_batch_size": 32,
+        "batch_size": 32,
+        "num_workers": 0,
+        "steps_per_epoch": 500,
+        "val_steps": 4,
+        "seed": 0,
+        "homography": {
+            "difficulty": 0.7,
+            "translation": 0.3,
+            "max_angle": 45.0,
+        },
+        "photometric": {"p": 0.95, "strength": 1.0},
+        "right_only": False,  # view0 gets a milder warp when True
+    }
+
+    def _init(self, conf):
+        self._pools: dict[str, dict] = {}
+
+    # -- pool ---------------------------------------------------------------
+
+    def build_pool(self, split: str = "train") -> dict:
+        """Generate (or load) the source-image pool as host numpy arrays.
+        uint8 images keep HBM cost at ~0.2 MB per 448x448 source."""
+        if split in self._pools:
+            return self._pools[split]
+        conf = self.conf
+        n = int(conf.val_pool_size if split == "val" else conf.pool_size)
+        w, h = (int(x) for x in conf.source_size)
+        k = int(conf.max_gt_points)
+        images = np.zeros((n, h, w, 1), np.uint8)
+        points = np.zeros((n, k, 2), np.float32)
+        valid = np.zeros((n, k), bool)
+        if conf.data_dir:
+            from pathlib import Path
+
+            from ..settings import DATA_PATH
+            from ..utils.image import read_image
+
+            root = Path(conf.data_dir)
+            if not root.is_absolute():
+                root = DATA_PATH / root
+            paths = sorted(p for pat in conf.glob for p in root.glob("**/" + pat))
+            if not paths:
+                raise FileNotFoundError(f"no pool images under {root}")
+            rng = np.random.default_rng(int(conf.seed) + (1 if split == "val" else 0))
+            sel = rng.permutation(len(paths))
+            # val uses the tail of the shuffled list, train the head
+            sel = sel[-n:] if split == "val" else sel[:n]
+            for i, pi in enumerate(sel):
+                img = read_image(paths[pi % len(paths)]).astype(np.float32) / 255.0
+                if img.ndim == 3:
+                    img = img.mean(-1)
+                img = cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+                images[i, ..., 0] = np.clip(img * 255, 0, 255).astype(np.uint8)
+                # corner GT for real images comes from HA / cached features,
+                # not from the pool; valid stays False
+        else:
+            salt = 104729 if split == "val" else 0
+            for i in range(n):
+                g = np.random.default_rng((int(conf.seed) + salt, i))
+                img, pts, val = generate_structured_scene(g, (w, h), k)
+                images[i] = np.clip(img * 255, 0, 255).astype(np.uint8)
+                points[i] = pts
+                valid[i] = val
+        pool = {"images": images, "points": points, "point_valid": valid}
+        self._pools[split] = pool
+        return pool
+
+    # -- in-jit batch construction -----------------------------------------
+
+    def make_batch(self, pool: dict, key: jax.Array, split: str = "train") -> dict:
+        """Pure jittable: (pool arrays, PRNG key) -> training batch dict.
+        Called inside the jitted train step; the only traced input is the key."""
+        conf = self.conf
+        bsz = int(conf.val_batch_size if split == "val" else conf.train_batch_size)
+        s = int(conf.image_size)
+        hs, ws = pool["images"].shape[1:3]
+        m = pool["images"].shape[0]
+        k_idx, k_h0, k_h1, k_p0, k_p1 = jax.random.split(key, 5)
+        idx = jax.random.randint(k_idx, (bsz,), 0, m)
+        images = pool["images"][idx].astype(jnp.float32) / 255.0
+        gt_pts = pool["points"][idx]
+        gt_valid = pool["point_valid"][idx]
+
+        hconf = conf.homography
+        diff = float(hconf.difficulty)
+        H0, _ = sample_homography_batch(
+            k_h0, bsz, (ws, hs), (s, s),
+            difficulty=diff * (0.3 if conf.right_only else 1.0),
+            translation=float(hconf.translation),
+            max_angle=float(hconf.max_angle) * (0.3 if conf.right_only else 1.0),
+        )
+        H1, _ = sample_homography_batch(
+            k_h1, bsz, (ws, hs), (s, s),
+            difficulty=diff,
+            translation=float(hconf.translation),
+            max_angle=float(hconf.max_angle),
+        )
+        im0 = warp_image(images, H0, (s, s))
+        im1 = warp_image(images, H1, (s, s))
+        p = float(conf.photometric.p)
+        strength = float(conf.photometric.strength)
+        im0 = photometric_augment(k_p0, im0, p=p, strength=strength)
+        im1 = photometric_augment(k_p1, im1, p=p, strength=strength)
+
+        kp0 = warp_points(gt_pts, H0)
+        kp1 = warp_points(gt_pts, H1)
+
+        def inside(kp):
+            return (
+                (kp[..., 0] >= 2.0) & (kp[..., 0] <= s - 3.0)
+                & (kp[..., 1] >= 2.0) & (kp[..., 1] <= s - 3.0)
+            )
+
+        size = jnp.full((bsz, 2), float(s), jnp.float32)
+        return {
+            "view0": {"image": im0, "image_size": size},
+            "view1": {"image": im1, "image_size": size},
+            "H_0to1": H1 @ jnp.linalg.inv(H0),
+            "gt_keypoints0": kp0,
+            "gt_keypoint_valid0": gt_valid & inside(kp0),
+            "gt_keypoints1": kp1,
+            "gt_keypoint_valid1": gt_valid & inside(kp1),
+        }
+
+    # -- loaders ------------------------------------------------------------
+
+    def batch_size(self, split: str) -> int:
+        key = f"{split}_batch_size"
+        return int(self.conf.get(key, self.conf.batch_size))
+
+    def get_dataset(self, split: str):  # pragma: no cover - engine path
+        raise NotImplementedError("device-engine dataset has no host split")
+
+    def get_data_loader(self, split: str, shard: int = 0, num_shards: int = 1):
+        steps = int(self.conf.val_steps if split == "val" else self.conf.steps_per_epoch)
+        return _SeedLoader(int(self.conf.seed), split, steps, shard, num_shards)
+
+    def get_overfit_loader(self, split: str, num_items: int = 1):
+        return _SeedLoader(int(self.conf.seed), split, 1, 0, 1, frozen=True)
+
+
+class _SeedLoader:
+    """Yields one scalar seed per step; the jitted step folds it into a key."""
+
+    def __init__(self, base_seed, split, steps, shard=0, num_shards=1, frozen=False):
+        self.base = base_seed
+        self.split = split
+        self.steps = steps
+        self.epoch = 0
+        self.shard = shard
+        self.num_shards = num_shards
+        self.frozen = frozen
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        return self.steps
+
+    def __iter__(self):
+        salt = 1 << 40 if self.split == "val" else 0  # disjoint seed streams
+        for i in range(self.steps):
+            step = 0 if self.frozen else self.epoch * self.steps + i
+            yield {
+                "seed": np.int64(
+                    self.base + salt + step * self.num_shards + self.shard
+                )
+            }
+
+
+__main_dataset__ = OnDeviceHomographyDataset

@@ -51,6 +51,7 @@ class HPatchesPipeline(EvalPipeline):
     }
     export_keys = [
         "keypoints0", "keypoints1", "keypoint_scores0", "keypoint_scores1",
+        "keypoint_valid0", "keypoint_valid1",
         "matches0", "matches1", "matching_scores0", "matching_scores1",
     ]
 

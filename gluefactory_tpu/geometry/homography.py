@@ -255,3 +255,76 @@ def homography_corner_error(H_est: jnp.ndarray, H_gt: jnp.ndarray, image_size) -
     pts_est = warp_points(corners, H_est)
     pts_gt = warp_points(corners, H_gt)
     return jnp.linalg.norm(pts_est - pts_gt, axis=-1).mean(axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Batched in-jit homography sampling (device data engine).
+# ---------------------------------------------------------------------------
+
+
+def _convexity_jax(quad: jnp.ndarray) -> jnp.ndarray:
+    """True where the (B, 4, 2) quad is strictly convex."""
+    d = jnp.roll(quad, -1, axis=-2) - quad
+    d2 = jnp.roll(d, -1, axis=-2)
+    cross = d[..., 0] * d2[..., 1] - d[..., 1] * d2[..., 0]
+    return jnp.all(cross > 1e-4, axis=-1) | jnp.all(cross < -1e-4, axis=-1)
+
+
+def sample_homography_batch(
+    key: jax.Array,
+    batch: int,
+    shape: tuple[int, int],
+    patch_shape: tuple[int, int],
+    difficulty: float = 0.7,
+    translation: float = 0.3,
+    max_angle: float = 45.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Device analogue of :func:`sample_homography_corners`: sample ``batch``
+    random homographies mapping source pixel coords (w, h = ``shape``) onto a
+    (pw, ph = ``patch_shape``) canvas, entirely inside jit (no host RNG, no
+    rejection loops — non-convex draws fall back to milder perturbations via
+    two lax selects).
+
+    Returns (H, coords): H (B, 3, 3) source->canvas, coords (B, 4, 2) the
+    sampled source quads in pixels.
+    """
+    w, h = shape
+    pw, ph = patch_shape
+    base = jnp.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]], jnp.float32)
+    k_pert, k_shrink, k_ang, k_trans = jax.random.split(key, 4)
+    amp = 0.5 * difficulty
+    # corner perturbation, amplitude largest away from the center
+    pert = jax.random.uniform(k_pert, (batch, 4, 2), minval=-amp, maxval=amp)
+    pert = pert * jnp.abs(base - 0.5) * 2.0
+    shrink = jax.random.uniform(k_shrink, (batch, 4, 1), maxval=amp)
+    quad = 0.5 + (base + pert - 0.5) * (1.0 - shrink)
+    quad = jnp.clip(quad, 0.0, 1.0)
+    # convexity fallbacks (rare): half perturbation, then the base square
+    half = 0.5 * (quad + base)
+    quad = jnp.where(_convexity_jax(quad)[:, None, None], quad, half)
+    quad = jnp.where(_convexity_jax(quad)[:, None, None], quad, base)
+    # rotation about the quad center, rescaled to stay within [0, 1]
+    ang = jax.random.uniform(
+        k_ang, (batch,), minval=-jnp.deg2rad(max_angle), maxval=jnp.deg2rad(max_angle)
+    )
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    rot = jnp.stack([jnp.stack([ca, -sa], -1), jnp.stack([sa, ca], -1)], -2)  # (B,2,2)
+    center = jnp.mean(quad, axis=-2, keepdims=True)
+    quad_r = jnp.einsum("bij,bnj->bni", rot, quad - center) + center
+    ext = jnp.max(jnp.abs(quad_r - center), axis=(-2, -1), keepdims=True)
+    room = jnp.minimum(center, 1.0 - center)  # distance from center to borders
+    scale = jnp.minimum(
+        1.0, jnp.min(room, axis=-1, keepdims=True) / jnp.maximum(ext, 1e-6)
+    )
+    quad_r = center + (quad_r - center) * scale
+    # translation within the remaining margin
+    mn = jnp.min(quad_r, axis=-2)
+    mx = jnp.max(quad_r, axis=-2)
+    t_lo, t_hi = -mn, jnp.maximum(1.0 - mx, -mn)
+    u = jax.random.uniform(k_trans, (batch, 2))
+    t = (t_lo + u * (t_hi - t_lo)) * translation
+    quad_t = quad_r + t[:, None, :]
+    coords = quad_t * jnp.array([w, h], jnp.float32)
+    target = jnp.broadcast_to(base * jnp.array([pw, ph], jnp.float32), (batch, 4, 2))
+    H = compute_homography(coords, target)
+    return H, coords

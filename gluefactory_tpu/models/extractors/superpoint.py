@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import ClassVar
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ...ops.interpolate import sample_descriptors
@@ -59,10 +60,26 @@ class SuperPoint(BaseModel):
         "remove_borders": 4,
         "refinement_radius": 0,
         "dense_outputs": False,
+        "training_outputs": False,  # keep cell logits + dense descs for loss()
+        "desc_sampling": "center",  # 'torch' = exact reference grid mapping
+        # (kp/s - 0.5); required for parity with imported official weights
         "channels": [64, 64, 64, 64, 128, 128, 128, 128],
         "head_channels": 256,
         "dtype": "float32",  # bf16 runs the CNN in bfloat16 (params stay f32)
         "weights": None,
+        "loss": {
+            # detector: 65-way cell cross-entropy vs exact corner GT
+            # (SuperPoint/MagicPoint recipe; the reference imports pretrained
+            # weights instead — gluefactory has no SP training path at all,
+            # this build adds one so quality is reachable with zero egress)
+            "cell_pos_weight": 32.0,  # class-balance: corner cells are rare
+            # descriptor: dense cell-pair hinge loss under H_0to1
+            "desc_weight": 1.0,
+            "desc_lambda_d": 250.0,
+            "desc_margin_pos": 1.0,
+            "desc_margin_neg": 0.2,
+            "desc_cell_dist": 8.0,  # px distance making a cell pair positive
+        },
     }
     required_data_keys: ClassVar[list] = ["image"]
 
@@ -118,20 +135,130 @@ class SuperPoint(BaseModel):
             )
             if self.conf.dense_outputs:
                 pred["heatmap"] = heat
+            if self.conf.training_outputs:
+                pred["cell_logits"] = logits
 
         if self.conf.has_descriptor:
             dense = self.convDb(nn.relu(self.convDa(features))).astype(jnp.float32)
             dense = dense / (jnp.linalg.norm(dense, axis=-1, keepdims=True) + 1e-8)
             if self.conf.has_detector:
                 pred["descriptors"] = sample_descriptors(
-                    dense, pred["keypoints"] - 0.5, stride=8
+                    dense, pred["keypoints"] - 0.5, stride=8,
+                    mode=self.conf.desc_sampling,
                 )
-            if self.conf.dense_outputs or not self.conf.has_detector:
+            if self.conf.dense_outputs or self.conf.training_outputs or not self.conf.has_detector:
                 pred["descriptors_dense"] = dense
         return pred
 
     def loss(self, pred: dict, data: dict):
-        raise NotImplementedError("SuperPoint is inference-only (pretrained)")
+        """Train from exact keypoint GT + a pair homography (both supplied by
+        the on-device engine, datasets/homographies_ondevice.py):
+          - 65-way cell softmax cross-entropy per view (MagicPoint recipe),
+          - dense descriptor hinge loss over corresponding 8x8 cells under
+            ``H_0to1`` (SuperPoint paper eq. 4-6).
+        Requires conf.training_outputs=True."""
+        import optax
+
+        from ...geometry.homography import warp_points
+
+        conf = self.conf.loss
+        losses: dict = {}
+        total = 0.0
+        metrics: dict = {}
+        for i in "01":
+            logits = pred.get(f"cell_logits{i}", pred.get("cell_logits"))
+            if logits is None:
+                raise NotImplementedError(
+                    "SuperPoint.loss needs conf.training_outputs=true"
+                )
+            b, hc, wc, _ = logits.shape
+            kp = data[f"gt_keypoints{i}"]
+            valid = data[f"gt_keypoint_valid{i}"]
+            labels = _cell_labels(kp, valid, hc, wc)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits.reshape(b, -1, 65), labels.reshape(b, -1)
+            )
+            w = jnp.where(labels.reshape(b, -1) < 64, float(conf.cell_pos_weight), 1.0)
+            det = jnp.sum(ce * w, axis=-1) / jnp.sum(w, axis=-1)
+            losses[f"det_ce{i}"] = det
+            total = total + det / 2.0
+            # detector quality vs GT (3 px): fraction of predicted keypoints
+            # near a GT corner, and of GT corners recovered
+            pk = pred[f"keypoints{i}"]
+            pv = pred[f"keypoint_valid{i}"]
+            d2 = jnp.sum((pk[:, :, None, :] - kp[:, None, :, :]) ** 2, -1)
+            big = 1e12
+            d2 = jnp.where(valid[:, None, :], d2, big)
+            near_gt = (jnp.min(d2, axis=2) < 9.0) & pv
+            prec = near_gt.sum(-1) / jnp.maximum(pv.sum(-1), 1)
+            d2p = jnp.where(pv[:, :, None], d2, big)
+            rec = ((jnp.min(d2p, axis=1) < 9.0) & valid).sum(-1) / jnp.maximum(
+                valid.sum(-1), 1
+            )
+            metrics[f"kp_precision{i}"] = prec
+            metrics[f"kp_recall{i}"] = rec
+
+        if self.conf.has_descriptor and float(conf.desc_weight) > 0:
+            d0 = pred["descriptors_dense0"]
+            d1 = pred["descriptors_dense1"]
+            b, hc, wc, c = d0.shape
+            ys, xs = jnp.mgrid[0:hc, 0:wc]
+            centers = (
+                jnp.stack([xs, ys], -1).reshape(1, -1, 2).astype(jnp.float32) * 8.0
+                + 3.5
+            )
+            H = data["H_0to1"]
+            wc0 = warp_points(jnp.broadcast_to(centers, (b, hc * wc, 2)), H)
+            s_img = jnp.asarray(
+                data["view1"]["image_size"] if "view1" in data else [wc * 8, hc * 8],
+                jnp.float32,
+            )
+            if s_img.ndim == 2:
+                s_img = s_img[:, None, :]
+            in1 = (wc0 >= 0.0).all(-1) & (wc0 <= s_img - 1.0).all(-1)
+            dist2 = jnp.sum((wc0[:, :, None, :] - centers[:, None, :, :]) ** 2, -1)
+            pos = dist2 <= float(conf.desc_cell_dist) ** 2
+            dot = jnp.einsum("bnc,bmc->bnm", d0.reshape(b, -1, c), d1.reshape(b, -1, c))
+            hinge = jnp.where(
+                pos,
+                float(conf.desc_lambda_d)
+                * jnp.maximum(0.0, float(conf.desc_margin_pos) - dot),
+                jnp.maximum(0.0, dot - float(conf.desc_margin_neg)),
+            )
+            hinge = hinge * in1[:, :, None]
+            desc = jnp.mean(hinge, axis=(1, 2))
+            losses["desc_hinge"] = desc
+            total = total + float(conf.desc_weight) * desc
+            # descriptor health: mean positive vs negative similarity
+            pos_f = pos & in1[:, :, None]
+            metrics["desc_pos_sim"] = jnp.sum(dot * pos_f, (1, 2)) / jnp.maximum(
+                pos_f.sum((1, 2)), 1
+            )
+            neg_f = (~pos) & in1[:, :, None]
+            metrics["desc_neg_sim"] = jnp.sum(dot * neg_f, (1, 2)) / jnp.maximum(
+                neg_f.sum((1, 2)), 1
+            )
+        losses["total"] = total
+        return losses, metrics
+
+
+def _cell_labels(kp: jnp.ndarray, valid: jnp.ndarray, hc: int, wc: int) -> jnp.ndarray:
+    """Exact keypoints (B, K, 2) + validity -> 65-way labels (B, hc, wc):
+    within-cell position index (row*8+col) where a corner lands, else the
+    64 'no-keypoint' dustbin. Built by a scatter with mode='drop' so invalid
+    slots never write."""
+    b, k = kp.shape[:2]
+    px = jnp.floor(kp[..., 0]).astype(jnp.int32)
+    py = jnp.floor(kp[..., 1]).astype(jnp.int32)
+    inb = valid & (px >= 0) & (py >= 0) & (px < wc * 8) & (py < hc * 8)
+    cell = (py // 8) * wc + px // 8
+    within = (py % 8) * 8 + px % 8
+    flat_idx = jnp.where(inb, cell, hc * wc)  # out-of-range -> dropped
+    labels = jnp.full((b, hc * wc), 64, jnp.int32)
+    labels = jax.vmap(lambda lab, idx, val: lab.at[idx].set(val, mode="drop"))(
+        labels, flat_idx, within.astype(jnp.int32)
+    )
+    return labels.reshape(b, hc, wc)
 
 
 __main_model__ = SuperPoint
@@ -139,7 +266,12 @@ __main_model__ = SuperPoint
 
 def torch_weight_converter(state_dict: dict) -> dict:
     """Map the official MagicLeap ``superpoint_v1.pth`` tensors onto this
-    module's param tree (NCHW OIHW -> HWIO). Input: name->numpy dict."""
+    module's param tree (NCHW OIHW -> HWIO). Input: name->numpy dict.
+
+    For exact output parity with the torch implementation also set
+    ``desc_sampling: torch`` in the model conf (the default 'center' grid
+    mapping deviates by a constant 0.5 full-res px — see
+    ops/interpolate.sample_descriptors)."""
     import numpy as np
 
     name_map = {

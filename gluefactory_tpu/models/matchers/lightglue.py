@@ -375,8 +375,6 @@ class LightGlue(BaseModel):
         conf_loss = 0.0
         desc_l0 = pred["desc_layers0"]
         desc_l1 = pred["desc_layers1"]
-        final_m0 = pred["matches0"]
-        final_m1 = pred["matches1"]
         for i in range(L):
             scores_i, sim_i, z0_i, z1_i = self.assignments[i](
                 desc_l0[i], desc_l1[i], mask0, mask1
@@ -393,11 +391,21 @@ class LightGlue(BaseModel):
                 losses["nll_neg"] = nlln
             else:
                 # Token confidence supervision: predict whether this layer's
-                # matches already agree with the final ones.
-                c0, c1 = self.confidences[i](desc_l0[i], desc_l1[i])
-                m_i = filter_matches(scores_i, conf.filter_threshold)
-                correct0 = (m_i["matches0"] == final_m0).astype(jnp.float32)
-                correct1 = (m_i["matches1"] == final_m1).astype(jnp.float32)
+                # row/col argmax already agrees with the final layer's
+                # (reference TokenConfidence.loss detaches the descriptors so
+                # confidence gradients never touch the transformer, and
+                # compares assignment argmaxes, not -1/-1 match codes).
+                c0, c1 = self.confidences[i](
+                    jax.lax.stop_gradient(desc_l0[i]),
+                    jax.lax.stop_gradient(desc_l1[i]),
+                )
+                final_scores = pred["log_assignment"]
+                correct0 = (
+                    jnp.argmax(scores_i, axis=2) == jnp.argmax(final_scores, axis=2)
+                ).astype(jnp.float32)
+                correct1 = (
+                    jnp.argmax(scores_i, axis=1) == jnp.argmax(final_scores, axis=1)
+                ).astype(jnp.float32)
                 correct0 = jax.lax.stop_gradient(correct0)
                 correct1 = jax.lax.stop_gradient(correct1)
                 bce0 = -(correct0 * jnp.log(c0 + 1e-8) + (1 - correct0) * jnp.log(1 - c0 + 1e-8))

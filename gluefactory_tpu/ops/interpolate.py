@@ -50,16 +50,25 @@ def sample_descriptors(
     keypoints: jnp.ndarray,
     stride: int = 8,
     normalized: bool = True,
+    mode: str = "center",
 ) -> jnp.ndarray:
     """Interpolate L2-normalized descriptors at keypoint locations
     (reference superpoint.py:117-149 'fixed' sampling variant).
 
     descriptor_map (B, H/s, W/s, C); keypoints (B, N, 2) in full-res pixel
     coords (pixel-center convention). Returns (B, N, C).
+
+    mode 'center' places descriptor cell i's center at stride/2 - 0.5 + s*i
+    in image space (geometrically the center of its receptive cell). The
+    reference's sample_descriptors_fix_sampling maps kp/s - 0.5
+    (align_corners=False grid_sample), a constant 0.5 full-res-px offset;
+    use mode='torch' for exact parity when importing official torch weights.
     """
-    # Map full-res pixel coords to descriptor-grid coords: cell centers sit at
-    # (stride/2 - 0.5) + stride * i in image space.
-    pts = (keypoints - (stride / 2.0 - 0.5)) / stride
+    if mode == "torch":
+        pts = keypoints / stride - 0.5
+    else:
+        # cell centers sit at (stride/2 - 0.5) + stride * i in image space
+        pts = (keypoints - (stride / 2.0 - 0.5)) / stride
     desc = bilinear_sample(descriptor_map, pts)
     if normalized:
         desc = desc / (jnp.linalg.norm(desc, axis=-1, keepdims=True) + 1e-8)

@@ -151,13 +151,27 @@ def make_optimizer(conf: Config, params: dict, model_conf: Config):
 # ---------------------------------------------------------------------------
 
 
-def make_train_step(model, tx, mesh: jax.sharding.Mesh):
+def make_train_step(model, tx, mesh: jax.sharding.Mesh, make_batch=None):
     """Build the jitted data-parallel train step. Batch arrays are sharded on
-    their leading axis over ``data``; params/opt_state replicated."""
+    their leading axis over ``data``; params/opt_state replicated.
+
+    With ``make_batch`` (a device data engine, e.g.
+    datasets/homographies_ondevice.py), the step signature becomes
+    ``(params, opt_state, pool, seed)`` and the whole data pipeline — pool
+    gather, homography warp, augmentation, GT — runs inside the same jit as
+    forward/backward; per-step host traffic is one scalar seed."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = NamedSharding(mesh, P())
     data_sharded = NamedSharding(mesh, P("data"))
+
+    def shard_data_tree(data, batch_size):
+        def constrain(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == batch_size:
+                return jax.lax.with_sharding_constraint(x, data_sharded)
+            return x
+
+        return jax.tree.map(constrain, data)
 
     def loss_fn(params, data):
         pred = model.apply(params, data)
@@ -193,9 +207,23 @@ def make_train_step(model, tx, mesh: jax.sharding.Mesh):
 
         return jax.tree.map(put, batch, is_leaf=lambda x: isinstance(x, np.ndarray))
 
+    if make_batch is None:
+        jitted = jax.jit(
+            step,
+            in_shardings=(repl, repl, data_sharded),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+        return jitted, shard_batch, repl
+
+    def engine_step(params, opt_state, pool, seed):
+        data = make_batch(pool, jax.random.key(seed), "train")
+        data = shard_data_tree(data, data["view0"]["image"].shape[0])
+        return step(params, opt_state, data)
+
     jitted = jax.jit(
-        step,
-        in_shardings=(repl, repl, data_sharded),
+        engine_step,
+        in_shardings=(repl, repl, repl, None),
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
     )
@@ -223,20 +251,42 @@ def filter_batch(batch):
 # ---------------------------------------------------------------------------
 
 
-def do_evaluation(model, params, loader, jit_forward=None):
-    """(reference train.py:82-124)"""
-    results: dict[str, AverageMetric | MedianMetric] = defaultdict(AverageMetric)
+def make_eval_forward(model, make_batch=None):
+    """Build the jitted validation forward ONCE (re-jitting per call retraces
+    the full graph — costly through remote-compile tunnels)."""
+    if make_batch is None:
 
-    if jit_forward is None:
         @jax.jit
         def jit_forward(params, data):
             pred = model.apply(params, data)
             losses, metrics = model.apply(params, pred, data, method=model.loss)
             return losses, metrics
 
+        return jit_forward
+
+    @jax.jit
+    def jit_forward_engine(params, pool, seed):
+        data = make_batch(pool, jax.random.key(seed), "val")
+        pred = model.apply(params, data)
+        losses, metrics = model.apply(params, pred, data, method=model.loss)
+        return losses, metrics
+
+    return jit_forward_engine
+
+
+def do_evaluation(model, params, loader, jit_forward=None, pool=None):
+    """(reference train.py:82-124)"""
+    results: dict[str, AverageMetric | MedianMetric] = defaultdict(AverageMetric)
+
+    if jit_forward is None:
+        jit_forward = make_eval_forward(model)
+
     for batch in loader:
-        data = filter_batch(batch)
-        losses, metrics = jit_forward(params, data)
+        if pool is not None:
+            losses, metrics = jit_forward(params, pool, batch["seed"])
+        else:
+            data = filter_batch(batch)
+            losses, metrics = jit_forward(params, data)
         for k, v in losses.items():
             results[f"loss/{k}"].update(np.asarray(v))
         for k, v in metrics.items():
@@ -317,15 +367,27 @@ def training(conf: Config, output_dir: Path, args=None):
     model = build_model(conf.model.name, conf.model)
 
     # init / restore -------------------------------------------------------
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    engine = bool(getattr(dataset, "device_engine", False))
+    pool = val_pool = None
     init_batch = None
     train_loader = dataset.get_data_loader(
         "train", shard=jax.process_index(), num_shards=n_proc
     )
     val_loader = dataset.get_data_loader("val", shard=jax.process_index(), num_shards=n_proc)
-    for b in train_loader:
-        init_batch = filter_batch(b)
-        break
-    assert init_batch is not None, "empty training loader"
+    if engine:
+        repl0 = NamedSharding(mesh, P())
+        pool = jax.device_put(dataset.build_pool("train"), repl0)
+        val_pool = jax.device_put(dataset.build_pool("val"), repl0)
+        init_batch = jax.jit(dataset.make_batch, static_argnames="split")(
+            pool, jax.random.key(0), split="train"
+        )
+    else:
+        for b in train_loader:
+            init_batch = filter_batch(b)
+            break
+        assert init_batch is not None, "empty training loader"
     params = model.init(key, init_batch, method=model.forward_and_loss)
     size = sum(x.size for x in jax.tree.leaves(params))
     logger.info("Model parameters: %.2fM", size / 1e6)
@@ -351,7 +413,10 @@ def training(conf: Config, output_dir: Path, args=None):
         iteration = blob["iteration"]
         logger.info("Restored at epoch %d iter %d", epoch0, iteration)
 
-    train_step, shard_batch, repl_sharding = make_train_step(model, tx, mesh)
+    train_step, shard_batch, repl_sharding = make_train_step(
+        model, tx, mesh, make_batch=dataset.make_batch if engine else None
+    )
+    eval_forward = make_eval_forward(model, dataset.make_batch if engine else None)
     params = jax.device_put(params, repl_sharding)
     opt_state = jax.device_put(opt_state, repl_sharding)
 
@@ -378,8 +443,13 @@ def training(conf: Config, output_dir: Path, args=None):
                 loader = train_loader
             steps_in_epoch = 0
             for batch in loader:
-                data = shard_batch(filter_batch(batch))
-                params, opt_state, scalars = train_step(params, opt_state, data)
+                if engine:
+                    params, opt_state, scalars = train_step(
+                        params, opt_state, pool, batch["seed"]
+                    )
+                else:
+                    data = shard_batch(filter_batch(batch))
+                    params, opt_state, scalars = train_step(params, opt_state, data)
                 iteration += 1
                 samples_since += dataset.batch_size("train")
                 for k, v in scalars.items():
@@ -399,7 +469,9 @@ def training(conf: Config, output_dir: Path, args=None):
                     t_last = time.perf_counter()
                     samples_since = 0
                 if iteration % int(conf.train.eval_every_iter) == 0 or stop["flag"]:
-                    eval_results = do_evaluation(model, params, val_loader)
+                    eval_results = do_evaluation(
+                        model, params, val_loader, eval_forward, pool=val_pool
+                    )
                     writer.write({f"val/{k}": v for k, v in eval_results.items()
                                   if np.isscalar(v) or getattr(v, 'ndim', 1) == 0}, iteration)
                     logger.info("[Validation] %s",
@@ -442,7 +514,9 @@ def training(conf: Config, output_dir: Path, args=None):
                         )
                     except Exception as e:  # benchmark data may be absent
                         logger.warning("benchmark %s failed: %s", bname, e)
-            eval_results = do_evaluation(model, params, val_loader)
+            eval_results = do_evaluation(
+                model, params, val_loader, eval_forward, pool=val_pool
+            )
             best_eval = save_experiment(
                 output_dir,
                 {"params": jax.tree.map(np.asarray, params),

@@ -112,7 +112,7 @@ def save_experiment(
     path = output_dir / cp_name
     path.write_bytes(flax.serialization.msgpack_serialize(blob))
     (output_dir / "config.yaml").write_text(yaml.safe_dump(conf.to_dict(), sort_keys=False))
-    best_key = conf.get("train", {}) and conf["train"].get("best_key", "loss/total")
+    best_key = conf.get("train.best_key", "loss/total") or "loss/total"
     cur = (eval_results or {}).get(best_key)
     if cur is not None and (best_eval is None or cur < best_eval):
         best_eval = float(cur)
