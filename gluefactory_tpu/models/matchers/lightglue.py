@@ -3,15 +3,22 @@
 
 TPU-first re-design decisions:
   - Attention runs through ops/attention (Pallas fused kernel on TPU, XLA on
-    CPU test meshes) with *padding masks* everywhere: the reference's
-    adaptive-width index_select compaction (lightglue.py:478-508) is replaced
-    by masking pruned tokens out of the KV sets while keeping static shapes
-    (SURVEY.md §5.7) — same FLOP savings are instead obtained by the kernel
-    skipping masked blocks, and shapes never change so XLA compiles once.
-  - Adaptive depth (early exit, lightglue.py:473-477) is a host-side
-    two-stage dispatch at inference: confidence is evaluated per layer inside
-    a lax.while_loop over stacked layer params (scan-friendly), see
-    ``adaptive`` conf flag. Default off during training.
+    CPU test meshes); self-attention uses the fused-rotary kernel variant
+    (ops/attention.self_attention_rotary) so the rotated q copies never
+    round-trip HBM. The reference's adaptive-width index_select compaction
+    (lightglue.py:478-508) is replaced by masking pruned tokens out of the
+    KV sets while keeping static shapes (SURVEY.md §5.7). NOTE on cost:
+    masking zeroes attention weights but the kernel still computes every
+    tile, so width pruning alone saves no FLOPs here — the real savings come
+    from depth pruning below.
+  - Adaptive depth (early exit, lightglue.py:473-477,541-552) is a
+    batch-wide lax.cond per layer at inference: once every batch item is
+    confident, the remaining layers are SKIPPED at runtime (XLA conditional
+    executes one branch), and the log-assignment head of the *exit* layer
+    produces the matches, exactly like the reference. For batch size 1 the
+    semantics match the reference's per-image exit; for larger batches the
+    exit fires when all items agree (the reference only supports batch 1
+    here). Default off during training.
   - Rotary positional encoding is precomputed once from normalized keypoint
     positions (LearnableFourierPositionalEncoding, lightglue.py:46-60) and
     applied in the attention blocks.
@@ -29,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.assignment import filter_matches, sigmoid_log_double_softmax
-from ...ops.attention import apply_rotary, attention
+from ...ops.attention import attention, self_attention_rotary
 from ..base_model import BaseModel
 from ..utils.losses import nll_loss_no_bins
 from ..utils.metrics import matcher_metrics
@@ -109,9 +116,10 @@ class SelfBlock(nn.Module):
         qkv = qkv.reshape(b, n, h, 3, hd).transpose(0, 2, 1, 4, 3)
         q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
         cos, sin = rot
-        q = apply_rotary(q, cos, sin)
-        k = apply_rotary(k, cos, sin)
-        msg = attention(q, k, v, kv_mask=mask, implementation=self.attn_impl)
+        # rotary fused into the attention kernel on TPU (one HBM pass saved)
+        msg = self_attention_rotary(
+            q, k, v, cos, sin, kv_mask=mask, implementation=self.attn_impl
+        )
         msg = msg.transpose(0, 2, 1, 3).reshape(b, n, d)
         msg = nn.Dense(d, name="out_proj", dtype=self._cdt)(msg)
         return x + self._ffn(x, msg)
@@ -264,6 +272,58 @@ class LightGlue(BaseModel):
         rot1 = (jnp.repeat(jnp.cos(proj1), 2, -1), jnp.repeat(jnp.sin(proj1), 2, -1))
         return desc0, desc1, rot0, rot1
 
+    def _adaptive_layer(self, i: int, rot0, rot1, mask0, mask1):
+        """Branch function for the batch-wide early-exit cond at layer i:
+        run the layer, evaluate token confidence, optionally prune width,
+        and — the moment the exit criterion fires — score the matches with
+        THIS layer's assignment head (reference lightglue.py:495-497 applies
+        log_assignment[i] of the exit layer)."""
+        conf = self.conf
+        last = i == conf.n_layers - 1
+
+        def run(carry):
+            (desc0, desc1, act0, act1, _done, scores, z0, z1, prune0, prune1,
+             exit_layer) = carry
+            nd0, nd1 = self.layers[i](desc0, desc1, rot0, rot1, act0, act1)
+            f0 = nd0.astype(jnp.float32)
+            f1 = nd1.astype(jnp.float32)
+            if last:
+                new_done = jnp.asarray(True)
+            else:
+                c0, c1 = self.confidences[i](f0, f1)
+                th = self.confidence_threshold(i)
+                if conf.depth_confidence > 0:
+                    confident = jnp.concatenate(
+                        [jnp.where(act0, c0 > th, True),
+                         jnp.where(act1, c1 > th, True)], axis=1
+                    )
+                    ratio = jnp.mean(confident.astype(jnp.float32), axis=1)
+                    new_done = jnp.all(ratio > conf.depth_confidence)
+                else:
+                    new_done = jnp.asarray(False)
+                if conf.width_confidence > 0:
+                    m0 = self.assignments[i].get_matchability(f0)
+                    m1 = self.assignments[i].get_matchability(f1)
+                    drop0 = (c0 > th) & (m0 < (1.0 - conf.width_confidence))
+                    drop1 = (c1 > th) & (m1 < (1.0 - conf.width_confidence))
+                    act0 = act0 & ~drop0
+                    act1 = act1 & ~drop1
+                    prune0 = prune0 + (~drop0).astype(jnp.int32)
+                    prune1 = prune1 + (~drop1).astype(jnp.int32)
+
+            def head(_):
+                s, _sim, hz0, hz1 = self.assignments[i](f0, f1, mask0, mask1)
+                return s, hz0, hz1
+
+            scores, z0, z1 = jax.lax.cond(
+                new_done, head, lambda _: (scores, z0, z1), None
+            )
+            exit_layer = jnp.where(new_done, i, exit_layer).astype(jnp.int32)
+            return (nd0, nd1, act0, act1, new_done, scores, z0, z1,
+                    prune0, prune1, exit_layer)
+
+        return run
+
     def confidence_threshold(self, layer_index: int) -> float:
         """Layer-dependent early-exit threshold schedule
         (reference lightglue.py:527-533)."""
@@ -280,12 +340,13 @@ class LightGlue(BaseModel):
             desc1 = desc1.astype(jnp.bfloat16)
             rot0 = tuple(r.astype(jnp.bfloat16) for r in rot0)
             rot1 = tuple(r.astype(jnp.bfloat16) for r in rot1)
-        # Adaptive inference (reference lightglue.py:460-508): on TPU both
-        # mechanisms are STATIC-SHAPE — width pruning masks confidently
-        # unmatchable tokens out of the attention KV sets instead of
-        # index_select compaction, and depth pruning freezes the descriptors
-        # once the exit criterion fires (XLA still executes the remaining
-        # layers but their outputs are gated; shapes never change).
+        # Adaptive inference (reference lightglue.py:460-508): STATIC SHAPES —
+        # width pruning masks confidently-unmatchable tokens out of the
+        # attention KV sets (no FLOP savings, just accuracy-preserving
+        # pruning); depth pruning wraps every layer in a batch-wide lax.cond,
+        # so once all items are confident the remaining layers are truly
+        # skipped at runtime and the exit layer's assignment head scores the
+        # matches (reference :541-552 semantics at batch size 1).
         adaptive_depth = conf.depth_confidence > 0
         adaptive_width = conf.width_confidence > 0
         b = desc0.shape[0]
@@ -293,50 +354,43 @@ class LightGlue(BaseModel):
         n1 = desc1.shape[1]
         act0 = mask0 if mask0 is not None else jnp.ones((b, n0), bool)
         act1 = mask1 if mask1 is not None else jnp.ones((b, n1), bool)
-        stopped = jnp.zeros((b,), bool)
         all0, all1 = [], []
         prune0 = jnp.ones((b, n0), jnp.int32)
         prune1 = jnp.ones((b, n1), jnp.int32)
-        for i in range(conf.n_layers):
-            new0, new1 = self.layers[i](desc0, desc1, rot0, rot1, act0, act1)
-            if adaptive_depth or adaptive_width:
-                keep = ~stopped[:, None, None]
-                desc0 = jnp.where(keep, new0, desc0)
-                desc1 = jnp.where(keep, new1, desc1)
-            else:
-                desc0, desc1 = new0, new1
-            if conf.save_layer_outputs:
-                all0.append(desc0)
-                all1.append(desc1)
-            if (adaptive_depth or adaptive_width) and i < conf.n_layers - 1:
-                c0, c1 = self.confidences[i](
-                    desc0.astype(jnp.float32), desc1.astype(jnp.float32)
+        adaptive = (adaptive_depth or adaptive_width) and not self.is_initializing()
+        if not adaptive:
+            for i in range(conf.n_layers):
+                desc0, desc1 = self.layers[i](desc0, desc1, rot0, rot1, act0, act1)
+                if conf.save_layer_outputs:
+                    all0.append(desc0)
+                    all1.append(desc1)
+            desc0 = desc0.astype(jnp.float32)
+            desc1 = desc1.astype(jnp.float32)
+            scores, sim, z0, z1 = self.assignments[-1](desc0, desc1, mask0, mask1)
+            if self.is_initializing():
+                # touch every per-layer head so inference-only graphs still
+                # create the full param tree (adaptive mode + loss need them)
+                for i in range(conf.n_layers - 1):
+                    self.confidences[i](desc0, desc1)
+                    self.assignments[i](desc0, desc1, mask0, mask1)
+        else:
+            zscores = jnp.zeros((b, n0, n1), jnp.float32)
+            zz0 = jnp.zeros((b, n0), jnp.float32)
+            zz1 = jnp.zeros((b, n1), jnp.float32)
+            carry = (desc0, desc1, act0, act1, jnp.asarray(False),
+                     zscores, zz0, zz1, prune0, prune1,
+                     jnp.asarray(conf.n_layers - 1, jnp.int32))
+            for i in range(conf.n_layers):
+                carry = jax.lax.cond(
+                    carry[4], lambda c: c, self._adaptive_layer(i, rot0, rot1,
+                                                               mask0, mask1),
+                    carry,
                 )
-                th = self.confidence_threshold(i)
-                if adaptive_depth:
-                    confident = jnp.concatenate(
-                        [jnp.where(act0, (c0 > th), True),
-                         jnp.where(act1, (c1 > th), True)], axis=1
-                    )
-                    ratio = jnp.mean(confident.astype(jnp.float32), axis=1)
-                    stopped = stopped | (ratio > conf.depth_confidence)
-                if adaptive_width:
-                    m0 = self.assignments[i].get_matchability(
-                        desc0.astype(jnp.float32))
-                    m1 = self.assignments[i].get_matchability(
-                        desc1.astype(jnp.float32))
-                    # prune tokens that are confident AND unmatchable
-                    drop0 = (c0 > th) & (m0 < (1.0 - conf.width_confidence))
-                    drop1 = (c1 > th) & (m1 < (1.0 - conf.width_confidence))
-                    act0 = act0 & ~(drop0 & ~stopped[:, None])
-                    act1 = act1 & ~(drop1 & ~stopped[:, None])
-                    prune0 = prune0 + (~drop0).astype(jnp.int32)
-                    prune1 = prune1 + (~drop1).astype(jnp.int32)
-        desc0 = desc0.astype(jnp.float32)
-        desc1 = desc1.astype(jnp.float32)
-        scores, sim, z0, z1 = self.assignments[-1](desc0, desc1, mask0, mask1)
+            (desc0, desc1, act0, act1, done, scores, z0, z1, prune0, prune1,
+             exit_layer) = carry
         matches = filter_matches(scores, conf.filter_threshold)
-        pred = {
+        pred = {} if not adaptive else {"exit_layer": exit_layer}
+        pred |= {
             "log_assignment": scores,
             "matches0": matches["matches0"],
             "matches1": matches["matches1"],
@@ -345,7 +399,7 @@ class LightGlue(BaseModel):
             "matchability0": nn.sigmoid(z0),
             "matchability1": nn.sigmoid(z1),
         }
-        if conf.save_layer_outputs:
+        if conf.save_layer_outputs and all0:
             pred["desc_layers0"] = jnp.stack(all0, axis=0).astype(jnp.float32)
             pred["desc_layers1"] = jnp.stack(all1, axis=0).astype(jnp.float32)
         if conf.width_confidence > 0:

@@ -341,3 +341,74 @@ def apply_rotary(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndar
     x2 = x[..., 1::2]
     rot = jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
     return x * cos[:, None] + rot * sin[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Fused rotary self-attention dispatcher (differentiable)
+# ---------------------------------------------------------------------------
+
+
+def _rotary_bwd_rotate(g, cos, sin):
+    """Adjoint of apply_rotary: J = diag(cos) + diag(sin) P with P^T = -P and
+    the repeated-pair cos/sin commuting with P, so J^T g = apply_rotary with
+    -sin."""
+    return apply_rotary(g, cos, -sin)
+
+
+def _P(x):
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+@jax.custom_vjp
+def _self_attention_rotary_fused(q, k, v, cos, sin, kv_mask):
+    k_rot = apply_rotary(k, cos, sin)
+    return attention_pallas_rotary(q, k_rot, v, cos, sin, kv_mask)
+
+
+def _sar_fwd(q, k, v, cos, sin, kv_mask):
+    return _self_attention_rotary_fused(q, k, v, cos, sin, kv_mask), (
+        q, k, v, cos, sin, kv_mask,
+    )
+
+
+def _sar_bwd(res, g):
+    q, k, v, cos, sin, kv_mask = res
+    qr = apply_rotary(q, cos, sin)
+    kr = apply_rotary(k, cos, sin)
+    dqr, dkr, dv, _ = _attention_bwd((qr, kr, v, kv_mask), g)
+    dq = _rotary_bwd_rotate(dqr, cos, sin)
+    dk = _rotary_bwd_rotate(dkr, cos, sin)
+    # rotary-coefficient grads feed the learnable Fourier posenc:
+    # d cos = sum_h dqr*q + dkr*k ; d sin = sum_h dqr*P(q) + dkr*P(k)
+    dcos = jnp.sum(dqr * q + dkr * k, axis=1)
+    dsin = jnp.sum(dqr * _P(q) + dkr * _P(k), axis=1)
+    return dq, dk, dv, dcos, dsin, None
+
+
+_self_attention_rotary_fused.defvjp(_sar_fwd, _sar_bwd)
+
+
+def self_attention_rotary(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    kv_mask: jnp.ndarray | None = None,
+    implementation: str = "auto",
+) -> jnp.ndarray:
+    """Rotary self-attention with the q-rotation fused into the Pallas kernel
+    on TPU (reference applies rotary as a separate op before SDPA,
+    lightglue.py:104-117 / 36-44). q/k/v (B, H, N, D); cos/sin (B, N, D)
+    shared across heads; kv_mask (B, N) bool."""
+    if implementation == "auto":
+        implementation = (
+            "pallas" if (_HAS_PLTPU and _on_tpu() and _pallas_usable()) else "xla"
+        )
+    if implementation == "pallas":
+        return _self_attention_rotary_fused(q, k, v, cos, sin, kv_mask)
+    qr = apply_rotary(q, cos, sin)
+    kr = apply_rotary(k, cos, sin)
+    return attention_xla(qr, kr, v, kv_mask)
