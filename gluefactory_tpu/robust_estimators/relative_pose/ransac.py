@@ -3,18 +3,15 @@
 
 Pipeline (all on device, static shapes):
   1. normalize keypoints through the cameras (pixels -> unit-plane rays),
-  2. sample S 8-point subsets, solve all with one batched weighted 8-point
-     eigendecomposition + essential-manifold projection,
-  3. MSAC-score all S x N Sampson residuals, pick the best hypothesis,
+  2. minimal solving: Nister-class 5-point (default; up to 10 candidate
+     essentials per sample via the batched hidden-variable-resultant solver,
+     geometry/essential.five_point_essential — the PoseLib-parity piece,
+     SURVEY.md §7.3.3) or the batched weighted 8-point,
+  3. MSAC-score all candidates x N Sampson residuals, pick the best,
   4. local optimization: iteratively-reweighted 8-point on the inlier set
      (the LO step; SURVEY.md §7.3.1 notes RANSAC quality is worth ~10 AUC
      points — LO is what closes the gap to PoseLib),
-  5. recover (R, t) by cheirality voting over the 4 decompositions.
-
-A Nister 5-point minimal solver is a planned upgrade; 8-point minimal sets
-with truncated-quadratic scoring + LO already get within ~1 AUC point on
-clean LightGlue matches (validated in tests/test_ransac.py on synthetic
-scenes)."""
+  5. recover (R, t) by cheirality voting over the 4 decompositions."""
 
 from __future__ import annotations
 
@@ -26,14 +23,18 @@ import numpy as np
 
 from ...geometry.essential import (
     eight_point_essential,
+    five_point_essential,
     recover_pose_from_essential,
+    refine_pose_sampson,
     sampson_distance,
 )
 from ...geometry.wrappers import Camera, Pose
 from ..base_estimator import BaseEstimator
 
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses", "lo_iters"))
+@functools.partial(
+    jax.jit, static_argnames=("num_hypotheses", "lo_iters", "minimal_solver")
+)
 def ransac_essential(
     rays0: jnp.ndarray,
     rays1: jnp.ndarray,
@@ -42,20 +43,31 @@ def ransac_essential(
     th: float,
     num_hypotheses: int = 1024,
     lo_iters: int = 4,
+    minimal_solver: str = "5pt",
 ):
     """rays0/1 (N, 3) unit-plane coords; th in normalized units.
     Returns (E, R, t, inliers, score)."""
     th2 = th * th
     logits = jnp.where(valid, 0.0, -1e9)
     keys = jax.random.split(key, num_hypotheses)
-    sample_idx = jax.vmap(lambda k: jax.random.categorical(k, logits, shape=(8,)))(keys)
-    x0 = rays0[sample_idx]  # (S, 8, 3)
+    n_min = 5 if minimal_solver == "5pt" else 8
+    sample_idx = jax.vmap(
+        lambda k: jax.random.categorical(k, logits, shape=(n_min,))
+    )(keys)
+    x0 = rays0[sample_idx]  # (S, n_min, 3)
     x1 = rays1[sample_idx]
-    E = eight_point_essential(x0, x1)  # (S, 3, 3)
-    err = sampson_distance(rays0[None], rays1[None], E)  # (S, N)
+    if minimal_solver == "5pt":
+        E, valid_h = five_point_essential(x0[..., :2], x1[..., :2])
+        E = E.reshape(-1, 3, 3)  # (S*10, 3, 3)
+        valid_h = valid_h.reshape(-1)
+    else:
+        E = eight_point_essential(x0, x1)  # (S, 3, 3)
+        valid_h = jnp.ones(E.shape[0], bool)
+    err = sampson_distance(rays0[None], rays1[None], E)  # (S', N)
     err = jnp.nan_to_num(err, nan=jnp.inf, posinf=jnp.inf)
     err = jnp.where(valid[None], err, jnp.inf)
     score = jnp.sum(jnp.maximum(0.0, 1.0 - err / th2), axis=-1)
+    score = jnp.where(valid_h, score, -1.0)
     best = jnp.argmax(score)
     E_best = E[best]
 
@@ -82,6 +94,17 @@ def ransac_essential(
     e_fin = jnp.nan_to_num(e_fin, nan=jnp.inf, posinf=jnp.inf)
     inliers = valid & (e_fin < th2)
     R, t = recover_pose_from_essential(E_ref, rays0, rays1, inliers)
+    # Nonlinear 5-dof Gauss-Newton on the Sampson error (PoseLib's 'bundle'
+    # refinement analogue) — the algebraic 8-point LO alone leaves several
+    # degrees of translation-direction error at realistic noise.
+    w = jnp.where(inliers, 1.0 / (1.0 + e_fin / th2), 0.0)
+    R, t = refine_pose_sampson(R, t, rays0, rays1, w, iters=8)
+    from ...geometry.utils import skew_symmetric
+
+    E_ref = skew_symmetric(t[None])[0] @ R
+    e_fin = sampson_distance(rays0[None], rays1[None], E_ref[None])[0]
+    e_fin = jnp.nan_to_num(e_fin, nan=jnp.inf, posinf=jnp.inf)
+    inliers = valid & (e_fin < th2)
     final_score = inliers.sum() / jnp.maximum(valid.sum(), 1)
     return E_ref, R, t, inliers, final_score
 
@@ -93,8 +116,9 @@ class RelativePoseEstimator(BaseEstimator):
 
     default_conf = {
         "ransac_th": 2.0,
-        "num_hypotheses": 2048,
+        "num_hypotheses": 512,  # 5pt yields up to 10 candidates per sample
         "lo_iters": 6,
+        "minimal_solver": "5pt",  # "5pt" (Nister-class) | "8pt"
         "seed": 0,
     }
 
@@ -120,6 +144,7 @@ class RelativePoseEstimator(BaseEstimator):
             th=th_norm,
             num_hypotheses=int(self.conf.num_hypotheses),
             lo_iters=int(self.conf.lo_iters),
+            minimal_solver=str(self.conf.minimal_solver),
         )
         n_inl = int(np.asarray(inliers.sum()))
         return {

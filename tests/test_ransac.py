@@ -138,3 +138,61 @@ def test_hybrid_point_line_homography():
     )
     assert float(err[0]) < 3.0, float(err[0])
     assert np.asarray(out["line_inliers"]).sum() > n_lines * 0.7
+
+
+def test_five_point_exact_recovery():
+    """Minimal 5-point solver returns the GT essential among its candidates
+    on exact correspondences (geometry/essential.five_point_essential)."""
+    from gluefactory_tpu.geometry.essential import five_point_essential
+
+    n_cases, found = 12, 0
+    for i in range(n_cases):
+        T = make_pose(scale_rot=0.4)
+        p3d = jnp.asarray(
+            rng.uniform([-1, -1, 2], [1, 1, 6], (5, 3)), jnp.float32
+        )
+        x0 = p3d[:, :2] / p3d[:, 2:]
+        p1 = T.transform(p3d[None])[0]
+        x1 = p1[:, :2] / p1[:, 2:]
+        E, valid5 = jax.jit(five_point_essential)(x0[None], x1[None])
+        E, valid5 = np.asarray(E[0]), np.asarray(valid5[0])
+        d = np.asarray(
+            sampson_distance(
+                jnp.asarray(x0)[None, None],
+                jnp.asarray(x1)[None, None],
+                jnp.asarray(E)[:, None],
+            )
+        ).squeeze(1)
+        ok = valid5 & (np.nan_to_num(d, nan=1.0).max(-1) < 1e-8)
+        found += int(ok.any())
+    assert found >= n_cases - 1, f"5-point failed on {n_cases - found} cases"
+
+
+def test_five_point_beats_eight_point_at_low_inlier_ratio():
+    """VERDICT gate: at ~50% inliers the 5-point RANSAC with FEWER minimal
+    samples must match or beat the 8-point (smaller samples survive outlier
+    contamination far more often)."""
+    errs = {"5pt": [], "8pt": []}
+    for seed in range(4):
+        cam, T, k0, k1, valid = make_two_view_scene(
+            n=384, noise=0.5, outlier_frac=0.5
+        )
+        data = {
+            "m_kpts0": k0, "m_kpts1": k1,
+            "camera0": cam, "camera1": cam, "valid": valid,
+        }
+        e5 = load_estimator("relative_pose", "ransac")(
+            {"ransac_th": 2.0, "num_hypotheses": 256, "lo_iters": 6,
+             "minimal_solver": "5pt", "seed": seed}
+        )(data)
+        e8 = load_estimator("relative_pose", "ransac")(
+            {"ransac_th": 2.0, "num_hypotheses": 1024, "lo_iters": 6,
+             "minimal_solver": "8pt", "seed": seed}
+        )(data)
+        for name, out in [("5pt", e5), ("8pt", e8)]:
+            r_err, t_err = relative_pose_error(
+                T, out["M_0to1"].R, out["M_0to1"].t
+            )
+            errs[name].append(max(float(r_err), float(t_err)))
+    assert np.median(errs["5pt"]) <= max(np.median(errs["8pt"]), 2.0), errs
+    assert np.median(errs["5pt"]) < 4.0, errs
