@@ -88,8 +88,11 @@ class LineMessage(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, desc, line_enc, lines_junc_idx, valid_lines, n_junc: int):
-        # desc (B, N, D) full node set; junction block = slots [0, n_junc)
+    def __call__(self, desc, line_enc, lines_junc_idx, valid_lines):
+        # desc (B, N, D) full node set; lines_junc_idx points into the
+        # junction slots, so the one-hot scatter over the full node set only
+        # ever hits junctions — no static slot-count argument needed (keeps
+        # the module remat-able without static_argnums)
         b, n, d = desc.shape
         idx = lines_junc_idx  # (B, 2L) into junction slots
         ep_desc = jnp.take_along_axis(desc, idx[..., None], axis=1)  # (B, 2L, D)
@@ -99,13 +102,12 @@ class LineMessage(nn.Module):
             jnp.concatenate([ep_desc, partner, line_enc], axis=-1)
         )
         ep_valid = jnp.repeat(valid_lines, 2, axis=-1).astype(desc.dtype)
-        # scatter-mean onto junction slots via one-hot einsum (static shapes)
-        onehot = (idx[..., None] == jnp.arange(n_junc)).astype(desc.dtype)
+        # scatter-mean via one-hot einsum (static shapes, MXU-shaped)
+        onehot = (idx[..., None] == jnp.arange(n)).astype(desc.dtype)
         onehot = onehot * ep_valid[..., None]
-        denom = jnp.maximum(jnp.sum(onehot, axis=1), 1.0)  # (B, n_junc)
+        denom = jnp.maximum(jnp.sum(onehot, axis=1), 1.0)  # (B, N)
         agg = jnp.einsum("bld,blj->bjd", msg, onehot) / denom[..., None]
-        update = jnp.zeros_like(desc).at[:, :n_junc].set(agg)
-        return desc + update
+        return desc + agg
 
 
 class GlueStick(BaseModel):
@@ -116,8 +118,11 @@ class GlueStick(BaseModel):
         "n_layers": 9,
         "filter_threshold": 0.2,
         "line_filter_threshold": 0.2,
-        "checkpointed": False,
-        "loss": {"nll_weight": 1.0, "line_nll_weight": 1.0},
+        "checkpointed": False,  # nn.remat every attention/line layer
+        "inter_supervision": None,  # list of layer indices with extra line
+        # supervision heads (reference gluestick.py:371-455)
+        "loss": {"nll_weight": 1.0, "line_nll_weight": 1.0,
+                 "inter_weight": 0.5},
     }
     required_data_keys: ClassVar[list] = [
         "keypoints0", "keypoints1", "descriptors0", "descriptors1",
@@ -129,16 +134,22 @@ class GlueStick(BaseModel):
         self.input_proj = nn.Dense(d, name="input_proj")
         self.kenc = MLP(dims=(32, 64, 128, d), name="kenc")
         self.lenc = MLP(dims=(32, 64, 128, d), name="lenc")
+        attn_cls = nn.remat(AttnLayer) if self.conf.checkpointed else AttnLayer
+        line_cls = nn.remat(LineMessage) if self.conf.checkpointed else LineMessage
         self.self_layers = [
-            AttnLayer(d, self.conf.num_heads, name=f"self_{i}")
+            attn_cls(d, self.conf.num_heads, name=f"self_{i}")
             for i in range(self.conf.n_layers)
         ]
         self.cross_layers = [
-            AttnLayer(d, self.conf.num_heads, name=f"cross_{i}")
+            attn_cls(d, self.conf.num_heads, name=f"cross_{i}")
             for i in range(self.conf.n_layers)
         ]
         self.line_layers = [
-            LineMessage(d, name=f"line_{i}") for i in range(self.conf.n_layers)
+            line_cls(d, name=f"line_{i}") for i in range(self.conf.n_layers)
+        ]
+        self.inter_layers = list(self.conf.inter_supervision or [])
+        self.inter_line_proj = [
+            nn.Dense(d, name=f"inter_line_proj_{i}") for i in self.inter_layers
         ]
         self.final_proj = nn.Dense(d, name="final_proj")
         self.bin_score = self.param("bin_score", nn.initializers.ones, ())
@@ -174,16 +185,32 @@ class GlueStick(BaseModel):
         idx1 = data["lines_junc_idx1"]
         vl0 = data.get("valid_lines0", jnp.ones(data["lines0"].shape[:2], bool))
         vl1 = data.get("valid_lines1", jnp.ones(data["lines1"].shape[:2], bool))
-        n_junc0 = idx0.shape[1]
-        n_junc1 = idx1.shape[1]
+        inter_preds = {}
         for i in range(conf.n_layers):
-            desc0 = self.self_layers[i](desc0, desc0, source_mask=mask0)
-            desc1 = self.self_layers[i](desc1, desc1, source_mask=mask1)
-            desc0 = self.line_layers[i](desc0, lenc0, idx0, vl0, n_junc0)
-            desc1 = self.line_layers[i](desc1, lenc1, idx1, vl1, n_junc1)
-            d0 = self.cross_layers[i](desc0, desc1, source_mask=mask1)
-            d1 = self.cross_layers[i](desc1, desc0, source_mask=mask0)
+            desc0 = self.self_layers[i](desc0, desc0, mask0)
+            desc1 = self.self_layers[i](desc1, desc1, mask1)
+            desc0 = self.line_layers[i](desc0, lenc0, idx0, vl0)
+            desc1 = self.line_layers[i](desc1, lenc1, idx1, vl1)
+            d0 = self.cross_layers[i](desc0, desc1, mask1)
+            d1 = self.cross_layers[i](desc1, desc0, mask0)
             desc0, desc1 = d0, d1
+            if i in self.inter_layers and (
+                self.is_initializing() or not self.conf.get("inference_only", False)
+            ):
+                # intermediate line supervision head (reference
+                # gluestick.py:283-307): per-layer projection -> junction
+                # scores -> line log-assignment
+                proj = self.inter_line_proj[self.inter_layers.index(i)]
+                md0, md1 = proj(desc0), proj(desc1)
+                sim_i = jnp.einsum(
+                    "bnd,bmd->bnm", md0, md1
+                ) / conf.descriptor_dim**0.5
+                scores_i = log_double_softmax(sim_i, self.bin_score, mask0, mask1)
+                _, lm = self._line_matches(
+                    scores_i[:, :-1, :-1], idx0, idx1, vl0, vl1,
+                    conf.line_filter_threshold,
+                )
+                inter_preds[f"line_{i}_log_assignment"] = lm["line_log_assignment"]
         mdesc0 = self.final_proj(desc0)
         mdesc1 = self.final_proj(desc1)
         sim = jnp.einsum("bnd,bmd->bnm", mdesc0, mdesc1) / conf.descriptor_dim**0.5
@@ -200,6 +227,7 @@ class GlueStick(BaseModel):
             scores[:, :-1, :-1], idx0, idx1, vl0, vl1, conf.line_filter_threshold
         )
         pred.update(line_matches)
+        pred.update(inter_preds)
         pred["raw_line_scores"] = line_scores_mat
         return pred
 
@@ -247,6 +275,17 @@ class GlueStick(BaseModel):
             )
             losses["line_nll"] = total_ln
             total = total + conf.line_nll_weight * total_ln
+            # inter-layer line supervision (reference gluestick.py:428-433)
+            for i in list(self.conf.inter_supervision or []):
+                key = f"line_{i}_log_assignment"
+                if key in pred:
+                    nll_i, _, _ = nll_loss(
+                        pred[key],
+                        data["gt_line_matches0"],
+                        data["gt_line_matches1"],
+                    )
+                    losses[f"line_nll_{i}"] = nll_i
+                    total = total + conf.inter_weight * nll_i
         losses["total"] = total
         metrics = matcher_metrics(pred, data)
         return losses, metrics

@@ -160,3 +160,45 @@ def test_gluestick_forward_and_loss():
     g = jax.grad(loss_fn)(params)
     gn = float(jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(g))))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_gluestick_checkpointed_inter_supervision():
+    """remat-wrapped layers + intermediate line supervision heads produce
+    extra loss terms and finite gradients (reference gluestick.py:371-455)."""
+    B, N, L = 2, 16, 4
+    data = _gluestick_data(B, N, L)
+    data_l = {
+        **data,
+        "gt_matches0": jnp.asarray(rng.integers(-1, N, (B, N)), jnp.int32),
+        "gt_matches1": jnp.full((B, N), -2, jnp.int32),
+        "gt_line_matches0": jnp.asarray(rng.integers(-1, L, (B, L)), jnp.int32),
+        "gt_line_matches1": jnp.full((B, L), -2, jnp.int32),
+    }
+    model = build_model(
+        "matchers.gluestick",
+        dict(GS_CONF, n_layers=3, checkpointed=True, inter_supervision=[1]),
+    )
+    params = model.init(jax.random.key(0), data)
+    pred = model.apply(params, data)
+    assert "line_1_log_assignment" in pred
+    losses, _ = model.apply(params, pred, data_l, method=model.loss)
+    assert "line_nll_1" in losses
+    assert np.isfinite(np.asarray(losses["total"])).all()
+
+    def loss_fn(p):
+        pr = model.apply(p, data)
+        l, _ = model.apply(p, pr, data_l, method=model.loss)
+        return jnp.mean(l["total"])
+
+    g = jax.grad(loss_fn)(params)
+    flat = {
+        "/".join(k): v
+        for k, v in
+        __import__("flax").traverse_util.flatten_dict(g["params"]).items()
+    }
+    inter = [k for k in flat if "inter_line_proj" in k]
+    assert inter and all(
+        np.isfinite(np.asarray(flat[k])).all() for k in inter
+    )
+    gn = float(jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(g))))
+    assert np.isfinite(gn) and gn > 0
