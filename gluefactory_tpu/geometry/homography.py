@@ -94,8 +94,21 @@ def _min_convexity(quad: np.ndarray) -> float:
 
 
 def compute_homography_np(pts0: np.ndarray, pts1: np.ndarray) -> np.ndarray:
-    """Exact numpy DLT from >=4 correspondences (host-side)."""
-    return np.asarray(compute_homography(jnp.asarray(pts0)[None], jnp.asarray(pts1)[None])[0])
+    """Exact numpy DLT from >=4 correspondences (pure host-side — data
+    pipelines call this per sample; routing it through the device would put
+    a device round-trip in every worker)."""
+    pts0 = np.asarray(pts0, np.float64)
+    pts1 = np.asarray(pts1, np.float64)
+    n = pts0.shape[0]
+    x0, y0 = pts0[:, 0], pts0[:, 1]
+    x1, y1 = pts1[:, 0], pts1[:, 1]
+    z, o = np.zeros(n), np.ones(n)
+    r1 = np.stack([-x0, -y0, -o, z, z, z, x1 * x0, x1 * y0, x1], axis=-1)
+    r2 = np.stack([z, z, z, -x0, -y0, -o, y1 * x0, y1 * y0, y1], axis=-1)
+    A = np.concatenate([r1, r2], axis=0)
+    _, _, Vt = np.linalg.svd(A)
+    H = Vt[-1].reshape(3, 3)
+    return (H / (H[2, 2] + 1e-12)).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
