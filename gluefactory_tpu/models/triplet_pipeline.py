@@ -57,21 +57,23 @@ class TripletPipeline(TwoViewPipeline):
         pairs = [pair_data("0", "1", None), pair_data("0", "2", None), pair_data("1", "2", None)]
         if self.conf.batch_triplets:
             # one stacked matcher call over 3B pairs
+            import jax
+
+            def cat_tree(*xs):
+                return jax.tree.map(lambda *ys: jnp.concatenate(ys, axis=0), *xs)
+
             stacked = {}
             for k in pairs[0]:
                 if k.startswith("view"):
                     stacked[k] = {
-                        kk: stack_pairs(pairs[0][k][kk], pairs[1][k][kk], pairs[2][k][kk])
+                        kk: cat_tree(pairs[0][k][kk], pairs[1][k][kk], pairs[2][k][kk])
                         for kk in pairs[0][k]
                         if hasattr(pairs[0][k][kk], "shape")
+                        or hasattr(pairs[0][k][kk], "f")  # Camera pytree
+                        or isinstance(pairs[0][k][kk], dict)  # cache dict
                     }
                 elif hasattr(pairs[0][k], "shape") or hasattr(pairs[0][k], "R"):
-                    import jax
-
-                    stacked[k] = jax.tree.map(
-                        lambda *xs: jnp.concatenate(xs, axis=0),
-                        pairs[0][k], pairs[1][k], pairs[2][k],
-                    )
+                    stacked[k] = cat_tree(pairs[0][k], pairs[1][k], pairs[2][k])
             m = self.matcher(stacked)
             b = data["view0"]["image"].shape[0] if "image" in data["view0"] else (
                 pred["keypoints0"].shape[0]
