@@ -85,7 +85,9 @@ default_conf = {
 
 
 def make_lr_schedule(conf: Config):
-    """factor/exp schedules (reference get_lr_scheduler, train.py:146-164)."""
+    """factor/exp schedules (reference get_lr_scheduler, train.py:146-164).
+    The 'plateau' type returns the base LR here; the runtime reduction is
+    applied through an injected hyperparameter (see PlateauController)."""
     base_lr = float(conf.lr)
     sched = conf.lr_schedule
     kind = sched.get("type")
@@ -106,6 +108,52 @@ def make_lr_schedule(conf: Config):
     return fn
 
 
+class PlateauController:
+    """ReduceLROnPlateau (reference train.py:146-164 allows any torch
+    scheduler incl. plateau): watches the validation best-key and scales an
+    LR multiplier down by ``factor`` after ``patience`` non-improving evals.
+    The multiplier is applied through optax.inject_hyperparams, so no
+    recompilation happens when it changes."""
+
+    def __init__(self, sched: Config):
+        self.enabled = sched.get("type") == "plateau"
+        self.factor = float(sched.get("factor", 0.5))
+        self.patience = int(sched.get("patience", 3))
+        self.min_scale = float(sched.get("min_scale", 1e-3))
+        self.best = None
+        self.bad = 0
+        self.scale = 1.0
+
+    def update(self, metric: float) -> bool:
+        """Returns True when the scale changed."""
+        if not self.enabled or not np.isfinite(metric):
+            return False
+        if self.best is None or metric < self.best - 1e-12:
+            self.best = metric
+            self.bad = 0
+            return False
+        self.bad += 1
+        if self.bad >= self.patience and self.scale > self.min_scale:
+            self.scale = max(self.scale * self.factor, self.min_scale)
+            self.bad = 0
+            logger.info("Plateau: scaling LR by %.3g -> x%.3g", self.factor, self.scale)
+            return True
+        return False
+
+
+def set_lr_scale(opt_state, scale: float):
+    """Replace the injected 'lr_scale' hyperparameter leaf in the optimizer
+    state pytree (no recompilation: the jitted step reads it as data)."""
+
+    def repl(path, leaf):
+        for p in path:
+            if getattr(p, "key", None) == "lr_scale":
+                return jnp.asarray(scale, jnp.float32)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(repl, opt_state)
+
+
 def trainable_mask(params: dict, model_conf: Config) -> dict:
     """Freeze param subtrees whose component conf sets trainable=False
     (reference base_model.py:88-90)."""
@@ -118,6 +166,25 @@ def trainable_mask(params: dict, model_conf: Config) -> dict:
         k: not any(part in frozen_roots for part in k[:2]) for k in flat
     }
     return traverse_util.unflatten_dict(mask)
+
+
+def lr_scaling_masks(params: dict, lr_scaling) -> list[tuple[float, dict]]:
+    """Per-group LR scaling (reference pack_lr_parameters, train.py:166-186):
+    ``lr_scaling: [[scale, [substr, ...]], ...]`` scales updates of params
+    whose flattened path contains any of the substrings."""
+    out = []
+    flat = traverse_util.flatten_dict(params)
+    for entry in list(lr_scaling or []):
+        scale, patterns = float(entry[0]), [str(p) for p in entry[1]]
+        mask = {
+            k: any(pat in "/".join(map(str, k)) for pat in patterns) for k in flat
+        }
+        n = sum(mask.values())
+        if n:
+            logger.info("LR scaling x%.3g for %d params matching %s",
+                        scale, n, patterns)
+            out.append((scale, traverse_util.unflatten_dict(mask)))
+    return out
 
 
 def make_optimizer(conf: Config, params: dict, model_conf: Config):
@@ -133,6 +200,15 @@ def make_optimizer(conf: Config, params: dict, model_conf: Config):
                                else conf.optimizer_options)
     chain = [optax.clip_by_global_norm(float(conf.clip_grad))] if conf.clip_grad else []
     chain.append(opt)
+    # per-group LR scaling (reference train.py:166-186)
+    for scale, mask in lr_scaling_masks(params, conf.get("lr_scaling")):
+        chain.append(optax.masked(optax.scale(scale), mask))
+    # runtime plateau multiplier, injected so updates need no recompile
+    chain.append(
+        optax.inject_hyperparams(lambda lr_scale: optax.scale(lr_scale))(
+            lr_scale=1.0
+        )
+    )
     tx = optax.chain(*chain)
     mask = trainable_mask(params, model_conf)
     flat_mask = traverse_util.flatten_dict(mask)
@@ -196,6 +272,10 @@ def make_train_step(model, tx, mesh: jax.sharding.Mesh, make_batch=None):
         scalars = {f"loss/{k}": jnp.mean(v) for k, v in losses.items()}
         scalars.update({f"metric/{k}": jnp.mean(v) for k, v in metrics.items()})
         scalars["grad_norm"] = grad_norm
+        # per-component gradient norms (≙ reference grad histograms/norms,
+        # train.py:510-522; scalars are cheap enough to emit every step)
+        for comp, sub in grads.get("params", grads).items():
+            scalars[f"grad_norm/{comp}"] = optax.global_norm(sub)
         scalars["skipped"] = (~finite).astype(jnp.float32)
         return new_params, new_opt_state, scalars
 
@@ -251,6 +331,35 @@ def filter_batch(batch):
 # ---------------------------------------------------------------------------
 
 
+PR_BINS = 32
+
+
+def _pr_counts(pred: dict, data: dict):
+    """Histogram matcher confidence by correctness for PR curves
+    (≙ reference add_pr_curve, train.py:551-557): returns
+    {correct, incorrect: (PR_BINS,), num_pos: ()} or None."""
+    scores = pred.get("matching_scores0")
+    m0 = pred.get("matches0")
+    gt = pred.get("gt_matches0", data.get("gt_matches0"))
+    if scores is None or m0 is None or gt is None:
+        return None
+    matched = m0 >= 0
+    correct = matched & (m0 == gt)
+    incorrect = matched & ~correct & (gt > -2)
+    edges = jnp.linspace(0.0, 1.0, PR_BINS + 1)
+    sc = jnp.clip(scores, 0.0, 1.0).reshape(-1)
+
+    def hist(mask):
+        w = mask.reshape(-1).astype(jnp.float32)
+        return jnp.histogram(sc, bins=edges, weights=w)[0]
+
+    return {
+        "correct": hist(correct),
+        "incorrect": hist(incorrect),
+        "num_pos": jnp.sum(gt >= 0),
+    }
+
+
 def make_eval_forward(model, make_batch=None):
     """Build the jitted validation forward ONCE (re-jitting per call retraces
     the full graph — costly through remote-compile tunnels)."""
@@ -260,7 +369,7 @@ def make_eval_forward(model, make_batch=None):
         def jit_forward(params, data):
             pred = model.apply(params, data)
             losses, metrics = model.apply(params, pred, data, method=model.loss)
-            return losses, metrics
+            return losses, metrics, _pr_counts(pred, data)
 
         return jit_forward
 
@@ -269,29 +378,60 @@ def make_eval_forward(model, make_batch=None):
         data = make_batch(pool, jax.random.key(seed), "val")
         pred = model.apply(params, data)
         losses, metrics = model.apply(params, pred, data, method=model.loss)
-        return losses, metrics
+        return losses, metrics, _pr_counts(pred, data)
 
     return jit_forward_engine
 
 
-def do_evaluation(model, params, loader, jit_forward=None, pool=None):
-    """(reference train.py:82-124)"""
+def do_evaluation(model, params, loader, jit_forward=None, pool=None,
+                  writer=None, step: int = 0):
+    """(reference train.py:82-124); accumulates PR-curve counts and emits
+    them to tensorboard + an average-precision scalar when available."""
     results: dict[str, AverageMetric | MedianMetric] = defaultdict(AverageMetric)
+    pr = None
 
     if jit_forward is None:
         jit_forward = make_eval_forward(model)
 
     for batch in loader:
         if pool is not None:
-            losses, metrics = jit_forward(params, pool, batch["seed"])
+            losses, metrics, pr_i = jit_forward(params, pool, batch["seed"])
         else:
             data = filter_batch(batch)
-            losses, metrics = jit_forward(params, data)
+            losses, metrics, pr_i = jit_forward(params, data)
         for k, v in losses.items():
             results[f"loss/{k}"].update(np.asarray(v))
         for k, v in metrics.items():
             results[f"metric/{k}"].update(np.asarray(v))
-    return {k: m.compute() for k, m in results.items()}
+        if pr_i is not None:
+            pr_i = jax.tree.map(np.asarray, pr_i)
+            if pr is None:
+                pr = pr_i
+            else:
+                pr = {k: pr[k] + pr_i[k] for k in pr}
+    out = {k: m.compute() for k, m in results.items()}
+    if pr is not None and pr["num_pos"] > 0:
+        # PR over descending confidence thresholds from the binned counts
+        tp = np.cumsum(pr["correct"][::-1])[::-1]
+        fp = np.cumsum(pr["incorrect"][::-1])[::-1]
+        prec = tp / np.maximum(tp + fp, 1)
+        rec = tp / max(float(pr["num_pos"]), 1.0)
+        # AP: trapezoid over recall (bins ordered by increasing threshold)
+        order = np.argsort(rec)
+        trapz = getattr(np, "trapezoid", np.trapz)
+        out["match_AP"] = float(trapz(prec[order], rec[order]))
+        if writer is not None and writer.tb is not None:
+            writer.tb.add_pr_curve_raw(
+                "val/matches",
+                true_positive_counts=tp, false_positive_counts=fp,
+                true_negative_counts=np.zeros_like(tp),
+                false_negative_counts=np.maximum(
+                    float(pr["num_pos"]) - tp, 0
+                ),
+                precision=prec, recall=np.clip(rec, 0, 1),
+                global_step=step, num_thresholds=len(tp),
+            )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -413,6 +553,7 @@ def training(conf: Config, output_dir: Path, args=None):
         iteration = blob["iteration"]
         logger.info("Restored at epoch %d iter %d", epoch0, iteration)
 
+    plateau = PlateauController(conf.train.lr_schedule)
     train_step, shard_batch, repl_sharding = make_train_step(
         model, tx, mesh, make_batch=dataset.make_batch if engine else None
     )
@@ -470,8 +611,15 @@ def training(conf: Config, output_dir: Path, args=None):
                     samples_since = 0
                 if iteration % int(conf.train.eval_every_iter) == 0 or stop["flag"]:
                     eval_results = do_evaluation(
-                        model, params, val_loader, eval_forward, pool=val_pool
+                        model, params, val_loader, eval_forward, pool=val_pool,
+                        writer=writer, step=iteration,
                     )
+                    if plateau.update(
+                        float(eval_results.get(conf.train.best_key, np.nan))
+                    ):
+                        opt_state = jax.device_put(
+                            set_lr_scale(opt_state, plateau.scale), repl_sharding
+                        )
                     writer.write({f"val/{k}": v for k, v in eval_results.items()
                                   if np.isscalar(v) or getattr(v, 'ndim', 1) == 0}, iteration)
                     logger.info("[Validation] %s",
@@ -512,10 +660,15 @@ def training(conf: Config, output_dir: Path, args=None):
                             {f"bench/{bname}/{k}": v for k, v in s.items()
                              if isinstance(v, (int, float))}, iteration,
                         )
-                    except Exception as e:  # benchmark data may be absent
-                        logger.warning("benchmark %s failed: %s", bname, e)
+                    except FileNotFoundError as e:  # benchmark data absent
+                        logger.warning("benchmark %s skipped (no data): %s",
+                                       bname, e)
+                    except Exception:
+                        logger.exception("benchmark %s FAILED", bname)
+                        raise
             eval_results = do_evaluation(
-                model, params, val_loader, eval_forward, pool=val_pool
+                model, params, val_loader, eval_forward, pool=val_pool,
+                writer=writer, step=iteration,
             )
             best_eval = save_experiment(
                 output_dir,

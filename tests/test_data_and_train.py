@@ -154,3 +154,49 @@ def test_finetune_from_experiment(tmp_path, monkeypatch):
     import jax
 
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params))
+
+
+def test_lr_scaling_and_plateau():
+    import jax.numpy as jnp
+    import optax
+    from gluefactory_tpu.core.config import Config as C
+    from gluefactory_tpu.train import (
+        PlateauController,
+        lr_scaling_masks,
+        make_optimizer,
+        set_lr_scale,
+    )
+
+    params = {
+        "params": {
+            "backbone": {"conv0": {"kernel": jnp.ones((2, 2))}},
+            "head": {"dense": {"kernel": jnp.ones((2, 2))}},
+        }
+    }
+    masks = lr_scaling_masks(params, [[0.1, ["backbone"]]])
+    assert len(masks) == 1 and masks[0][0] == 0.1
+    tconf = C(
+        {"optimizer": "sgd", "optimizer_options": {}, "lr": 1.0,
+         "lr_schedule": {"type": None}, "clip_grad": None,
+         "lr_scaling": [[0.1, ["backbone"]]]}
+    )
+    tx, _ = make_optimizer(tconf, params, C({}))
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    upd, state = tx.update(grads, state, params)
+    flat = {"/".join(k): v for k, v in
+            __import__("flax").traverse_util.flatten_dict(upd).items()}
+    bb = [v for k, v in flat.items() if "backbone" in k][0]
+    hd = [v for k, v in flat.items() if "head" in k][0]
+    # backbone updates scaled 0.1x relative to head
+    np.testing.assert_allclose(np.asarray(bb), 0.1 * np.asarray(hd), rtol=1e-6)
+    # plateau: runtime LR multiplier through the injected hyperparam
+    state2 = set_lr_scale(state, 0.5)
+    upd2, _ = tx.update(grads, state2, params)
+    flat2 = {"/".join(k): v for k, v in
+             __import__("flax").traverse_util.flatten_dict(upd2).items()}
+    hd2 = [v for k, v in flat2.items() if "head" in k][0]
+    np.testing.assert_allclose(np.asarray(hd2), 0.5 * np.asarray(hd), rtol=1e-6)
+    pc = PlateauController(C({"type": "plateau", "patience": 2, "factor": 0.5}))
+    assert not pc.update(1.0) and not pc.update(1.1)
+    assert pc.update(1.2) and pc.scale == 0.5  # two bad evals -> reduce
