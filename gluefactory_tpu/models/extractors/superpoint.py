@@ -31,11 +31,27 @@ from ...ops.nms import select_top_k_keypoints, simple_nms, soft_argmax_refinemen
 from ..base_model import BaseModel
 
 
+class ChannelAffine(nn.Module):
+    """Per-channel scale+bias — holds an inference-mode BatchNorm exactly
+    (the rpautrat SuperPoint-open places BN after every ReLU; folding it
+    into neighboring convs is inexact at SAME-padding borders, so imported
+    checkpoints keep it as an explicit affine that XLA fuses for free)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return x * scale + bias
+
+
 class VGGBackbone(nn.Module):
     """4-stage VGG encoder, stride 8 (reference superpoint.py:170-200)."""
 
     channels: tuple = (64, 64, 64, 64, 128, 128, 128, 128)
     dtype: str = "float32"
+    post_relu_affine: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -44,6 +60,8 @@ class VGGBackbone(nn.Module):
         for i, ch in enumerate(self.channels):
             x = nn.Conv(ch, (3, 3), padding="SAME", name=f"conv{i}", dtype=cdt)(x)
             x = nn.relu(x)
+            if self.post_relu_affine:
+                x = ChannelAffine(ch, name=f"affine{i}")(x)
             if i in pool_after:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return x
@@ -63,6 +81,8 @@ class SuperPoint(BaseModel):
         "training_outputs": False,  # keep cell logits + dense descs for loss()
         "desc_sampling": "center",  # 'torch' = exact reference grid mapping
         # (kp/s - 0.5); required for parity with imported official weights
+        "post_relu_affine": False,  # explicit per-channel affines after each
+        # ReLU (holds the SuperPoint-open checkpoints' BatchNorms exactly)
         "channels": [64, 64, 64, 64, 128, 128, 128, 128],
         "head_channels": 256,
         "dtype": "float32",  # bf16 runs the CNN in bfloat16 (params stay f32)
@@ -86,7 +106,8 @@ class SuperPoint(BaseModel):
     def setup(self):
         cdt = jnp.bfloat16 if self.conf.dtype == "bf16" else jnp.float32
         self.backbone = VGGBackbone(channels=tuple(self.conf.channels),
-                                    dtype=self.conf.dtype)
+                                    dtype=self.conf.dtype,
+                                    post_relu_affine=self.conf.post_relu_affine)
         head = self.conf.head_channels
         if self.conf.has_detector:
             self.convPa = nn.Conv(head, (3, 3), padding="SAME", name="convPa", dtype=cdt)
@@ -95,6 +116,11 @@ class SuperPoint(BaseModel):
             self.convDa = nn.Conv(head, (3, 3), padding="SAME", name="convDa", dtype=cdt)
             self.convDb = nn.Conv(self.conf.descriptor_dim, (1, 1), name="convDb",
                                   dtype=cdt)
+        if self.conf.post_relu_affine:
+            if self.conf.has_detector:
+                self.affinePa = ChannelAffine(head, name="affinePa")
+            if self.conf.has_descriptor:
+                self.affineDa = ChannelAffine(head, name="affineDa")
 
     def _forward(self, data: dict) -> dict:
         image = data["image"]
@@ -107,7 +133,10 @@ class SuperPoint(BaseModel):
         pred = {}
 
         if self.conf.has_detector:
-            logits = self.convPb(nn.relu(self.convPa(features)))  # (B, H/8, W/8, 65)
+            pa = nn.relu(self.convPa(features))
+            if self.conf.post_relu_affine:
+                pa = self.affinePa(pa)
+            logits = self.convPb(pa)  # (B, H/8, W/8, 65)
             logits = logits.astype(jnp.float32)
             probs = nn.softmax(logits, axis=-1)[..., :-1]  # drop dustbin
             # (B, Hc, Wc, 64) -> full-res heatmap (B, H, W)
@@ -139,7 +168,10 @@ class SuperPoint(BaseModel):
                 pred["cell_logits"] = logits
 
         if self.conf.has_descriptor:
-            dense = self.convDb(nn.relu(self.convDa(features))).astype(jnp.float32)
+            da = nn.relu(self.convDa(features))
+            if self.conf.post_relu_affine:
+                da = self.affineDa(da)
+            dense = self.convDb(da).astype(jnp.float32)
             dense = dense / (jnp.linalg.norm(dense, axis=-1, keepdims=True) + 1e-8)
             if self.conf.has_detector:
                 pred["descriptors"] = sample_descriptors(

@@ -40,13 +40,16 @@ ETH_EPS = 1e-8
 
 class MLP(nn.Module):
     dims: tuple
+    norm: str = "layer"  # 'layer' | 'none' (imported torch checkpoints use
+    # k=1 BatchNorm, folded exactly into the preceding dense)
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dims):
             x = nn.Dense(d, name=f"dense_{i}")(x)
             if i < len(self.dims) - 1:
-                x = nn.LayerNorm(name=f"norm_{i}")(x)
+                if self.norm == "layer":
+                    x = nn.LayerNorm(name=f"norm_{i}")(x)
                 x = nn.relu(x)
         return x
 
@@ -61,6 +64,7 @@ def normalize_points(pts, image_size):
 class AttnLayer(nn.Module):
     dim: int
     num_heads: int
+    norm: str = "layer"
 
     @nn.compact
     def __call__(self, x, source, source_mask=None):
@@ -77,7 +81,9 @@ class AttnLayer(nn.Module):
         msg = attention(q, k, v, kv_mask=source_mask)
         msg = msg.transpose(0, 2, 1, 3).reshape(b, n, d)
         msg = nn.Dense(d, name="out")(msg)
-        upd = MLP(dims=(2 * d, d), name="mlp")(jnp.concatenate([x, msg], axis=-1))
+        upd = MLP(dims=(2 * d, d), norm=self.norm, name="mlp")(
+            jnp.concatenate([x, msg], axis=-1)
+        )
         return x + upd
 
 
@@ -86,6 +92,7 @@ class LineMessage(nn.Module):
     gluestick.py:582-684)."""
 
     dim: int
+    norm: str = "layer"
 
     @nn.compact
     def __call__(self, desc, line_enc, lines_junc_idx, valid_lines):
@@ -98,7 +105,7 @@ class LineMessage(nn.Module):
         ep_desc = jnp.take_along_axis(desc, idx[..., None], axis=1)  # (B, 2L, D)
         twoL = idx.shape[1]
         partner = ep_desc.reshape(b, twoL // 2, 2, d)[:, :, ::-1].reshape(b, twoL, d)
-        msg = MLP(dims=(2 * d, d), name="mlp")(
+        msg = MLP(dims=(2 * d, d), norm=self.norm, name="mlp")(
             jnp.concatenate([ep_desc, partner, line_enc], axis=-1)
         )
         ep_valid = jnp.repeat(valid_lines, 2, axis=-1).astype(desc.dtype)
@@ -119,6 +126,13 @@ class GlueStick(BaseModel):
         "filter_threshold": 0.2,
         "line_filter_threshold": 0.2,
         "checkpointed": False,  # nn.remat every attention/line layer
+        "norm": "layer",  # 'none' for imported official checkpoints
+        "line_score_source": "point_assignment",  # | 'line_proj': a separate
+        # final_line_proj scores the junction descriptors (the reference's
+        # formulation, gluestick.py:329-369; needed for checkpoint parity)
+        "compat_score_tiling": False,  # replicate the reference EndPtEncoder
+        # quirk of TILING line scores over endpoints (gluestick.py:507-514)
+        # while endpoints themselves are interleaved
         "inter_supervision": None,  # list of layer indices with extra line
         # supervision heads (reference gluestick.py:371-455)
         "loss": {"nll_weight": 1.0, "line_nll_weight": 1.0,
@@ -132,21 +146,26 @@ class GlueStick(BaseModel):
     def setup(self):
         d = self.conf.descriptor_dim
         self.input_proj = nn.Dense(d, name="input_proj")
-        self.kenc = MLP(dims=(32, 64, 128, d), name="kenc")
-        self.lenc = MLP(dims=(32, 64, 128, d), name="lenc")
+        self.kenc = MLP(dims=(32, 64, 128, 256, d), norm=self.conf.norm,
+                        name="kenc")
+        self.lenc = MLP(dims=(32, 64, 128, 256, d), norm=self.conf.norm,
+                        name="lenc")
         attn_cls = nn.remat(AttnLayer) if self.conf.checkpointed else AttnLayer
         line_cls = nn.remat(LineMessage) if self.conf.checkpointed else LineMessage
+        norm = self.conf.norm
         self.self_layers = [
-            attn_cls(d, self.conf.num_heads, name=f"self_{i}")
+            attn_cls(d, self.conf.num_heads, norm, name=f"self_{i}")
             for i in range(self.conf.n_layers)
         ]
         self.cross_layers = [
-            attn_cls(d, self.conf.num_heads, name=f"cross_{i}")
+            attn_cls(d, self.conf.num_heads, norm, name=f"cross_{i}")
             for i in range(self.conf.n_layers)
         ]
         self.line_layers = [
-            line_cls(d, name=f"line_{i}") for i in range(self.conf.n_layers)
+            line_cls(d, norm, name=f"line_{i}") for i in range(self.conf.n_layers)
         ]
+        if self.conf.line_score_source == "line_proj":
+            self.final_line_proj = nn.Dense(d, name="final_line_proj")
         self.inter_layers = list(self.conf.inter_supervision or [])
         self.inter_line_proj = [
             nn.Dense(d, name=f"inter_line_proj_{i}") for i in self.inter_layers
@@ -168,8 +187,14 @@ class GlueStick(BaseModel):
         eps = lines.reshape(b, 2 * L, 2)
         eps_n = normalize_points(eps, size)
         partner = eps_n.reshape(b, L, 2, 2)[:, :, ::-1].reshape(b, 2 * L, 2)
-        lscore = jnp.repeat(data.get(f"line_scores{i}", jnp.ones((b, L))), 2, axis=-1)
-        lscore = lscore / (jnp.max(lscore, axis=-1, keepdims=True) + ETH_EPS)
+        lscore = data.get(f"line_scores{i}", jnp.ones((b, L)))
+        if self.conf.compat_score_tiling:
+            # reference quirks (gluestick.py:507-514): scores TILED over the
+            # two endpoints (endpoints interleaved) and used unnormalized
+            lscore = jnp.tile(lscore, (1, 2))
+        else:
+            lscore = jnp.repeat(lscore, 2, axis=-1)
+            lscore = lscore / (jnp.max(lscore, axis=-1, keepdims=True) + ETH_EPS)
         line_enc = self.lenc(
             jnp.concatenate([eps_n, partner - eps_n, lscore[..., None]], axis=-1)
         )
@@ -222,9 +247,17 @@ class GlueStick(BaseModel):
         if mask1 is not None:
             pred["matches1"] = jnp.where(mask1, pred["matches1"], -1)
 
-        # ---- line assignment from junction score sub-matrix ----------------
+        # ---- line assignment --------------------------------------------
+        if conf.line_score_source == "line_proj":
+            # reference formulation: a dedicated projection scores junction
+            # descriptors (gluestick.py:329-369)
+            ml0 = self.final_line_proj(desc0)
+            ml1 = self.final_line_proj(desc1)
+            line_src = jnp.einsum("bnd,bmd->bnm", ml0, ml1) / conf.descriptor_dim**0.5
+        else:
+            line_src = scores[:, :-1, :-1]
         line_scores_mat, line_matches = self._line_matches(
-            scores[:, :-1, :-1], idx0, idx1, vl0, vl1, conf.line_filter_threshold
+            line_src, idx0, idx1, vl0, vl1, conf.line_filter_threshold
         )
         pred.update(line_matches)
         pred.update(inter_preds)
@@ -292,3 +325,94 @@ class GlueStick(BaseModel):
 
 
 __main_model__ = GlueStick
+
+
+def torch_weight_converter(state_dict: dict, conf=None) -> dict:
+    """Map the official GlueStick checkpoint (cvg/GlueStick release;
+    reference gluestick.py module names) onto this param tree. Use with
+    ``norm: none, line_score_source: line_proj, compat_score_tiling: true``.
+
+    Layout notes: Conv1d k=1 -> Dense (transposed); k=1 BatchNorms fold
+    exactly into the preceding conv; attention head channel order permuted
+    (torch (head_dim, heads) -> ours (heads, head_dim)); the official model
+    has no input projection (input_dim == descriptor_dim) so input_proj
+    becomes identity."""
+    import numpy as np
+
+    cfg = GlueStick.collect_default_conf().merge(conf or {})
+    d = int(cfg.descriptor_dim)
+    h = int(cfg.num_heads)
+    hd = d // h
+    L = int(cfg.n_layers)
+    eps = 1e-5
+
+    def lin(prefix):
+        w = np.asarray(state_dict[f"{prefix}.weight"])
+        if w.ndim == 3:
+            w = w[..., 0]
+        return {"kernel": w.T.astype(np.float32),
+                "bias": np.asarray(state_dict[f"{prefix}.bias"], np.float32)}
+
+    def lin_bn(conv_p, bn_p):
+        w = np.asarray(state_dict[f"{conv_p}.weight"], np.float64)[..., 0]
+        b = np.asarray(state_dict[f"{conv_p}.bias"], np.float64)
+        gamma = np.asarray(state_dict[f"{bn_p}.weight"], np.float64)
+        beta = np.asarray(state_dict[f"{bn_p}.bias"], np.float64)
+        mean = np.asarray(state_dict[f"{bn_p}.running_mean"], np.float64)
+        var = np.asarray(state_dict[f"{bn_p}.running_var"], np.float64)
+        a = gamma / np.sqrt(var + eps)
+        return {"kernel": (a[:, None] * w).T.astype(np.float32),
+                "bias": (a * (b - mean) + beta).astype(np.float32)}
+
+    perm = np.asarray(
+        [d_i * h + h_i for h_i in range(h) for d_i in range(hd)], np.int64
+    )
+
+    def qkv(prefix):
+        p = lin(prefix)
+        return {"kernel": p["kernel"][:, perm], "bias": p["bias"][perm]}
+
+    def merge(prefix):
+        p = lin(prefix)
+        return {"kernel": p["kernel"][perm, :], "bias": p["bias"]}
+
+    def enc(prefix):
+        return {
+            "dense_0": lin_bn(f"{prefix}.0", f"{prefix}.1"),
+            "dense_1": lin_bn(f"{prefix}.3", f"{prefix}.4"),
+            "dense_2": lin_bn(f"{prefix}.6", f"{prefix}.7"),
+            "dense_3": lin_bn(f"{prefix}.9", f"{prefix}.10"),
+            "dense_4": lin(f"{prefix}.12"),
+        }
+
+    params: dict = {
+        "input_proj": {"kernel": np.eye(d, dtype=np.float32),
+                       "bias": np.zeros(d, np.float32)},
+        "kenc": enc("kenc.encoder"),
+        "lenc": enc("lenc.encoder"),
+        "final_proj": lin("final_proj"),
+        "final_line_proj": lin("final_line_proj"),
+        "bin_score": np.asarray(state_dict["bin_score"], np.float32).reshape(()),
+        "line_bin_score": np.asarray(
+            state_dict["line_bin_score"], np.float32
+        ).reshape(()),
+    }
+    for i in range(L):
+        for kind, j in (("self", 2 * i), ("cross", 2 * i + 1)):
+            base = f"gnn.layers.{j}.update"
+            params[f"{kind}_{i}"] = {
+                "q": qkv(f"{base}.attn.proj.0"),
+                "k": qkv(f"{base}.attn.proj.1"),
+                "v": qkv(f"{base}.attn.proj.2"),
+                "out": merge(f"{base}.attn.merge"),
+                "mlp": {
+                    "dense_0": lin_bn(f"{base}.mlp.0", f"{base}.mlp.1"),
+                    "dense_1": lin(f"{base}.mlp.3"),
+                },
+            }
+        lbase = f"gnn.line_layers.{i}"
+        params[f"line_{i}"] = {"mlp": {
+            "dense_0": lin_bn(f"{lbase}.mlp.0", f"{lbase}.mlp.1"),
+            "dense_1": lin(f"{lbase}.mlp.3"),
+        }}
+    return {"params": params}

@@ -80,7 +80,9 @@ def log_double_softmax(
         )
     scores0 = masked_log_softmax(row_aug, rmask, axis=2)  # (B, N, M+1)
     scores1 = masked_log_softmax(col_aug, cmask, axis=1)  # (B, N+1, M)
-    scores = jnp.full((b, n + 1, m + 1), NEG_INF, dtype=sim.dtype)
+    # corner (bin, bin) = 0 like the reference (gluestick.py:768); it is
+    # never read by matching or the loss
+    scores = jnp.zeros((b, n + 1, m + 1), dtype=sim.dtype)
     scores = scores.at[:, :n, :m].set(0.5 * (scores0[:, :, :m] + scores1[:, :n, :]))
     scores = scores.at[:, :n, m].set(scores0[:, :, m])
     scores = scores.at[:, n, :m].set(scores1[:, n, :])

@@ -65,7 +65,8 @@ def main():
             cmd.append("--restore")
         print(f"[resilient] launch (restart {restarts}): {' '.join(cmd)}", flush=True)
         t_start = time.time()
-        logf = open(exp_dir / "driver_log.txt", "a") if exp_dir.exists() else None
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        logf = open(exp_dir / "driver_log.txt", "a")
         proc = subprocess.Popen(
             cmd, start_new_session=True,
             stdout=logf or subprocess.DEVNULL, stderr=subprocess.STDOUT,
