@@ -222,3 +222,69 @@ def gt_line_matches_from_homography(
         "line_matches1": m1.astype(jnp.int32),
         "line_assignment": assignment,
     }
+
+
+def merge_lines(
+    segs: jnp.ndarray,
+    valid: jnp.ndarray,
+    thresh: float = 5.0,
+    n_iters: int = 8,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge overlapping near-collinear segments
+    (reference models/lines/line_refinement.py:merge_lines:126-167 —
+    re-designed static-shape: clustering is iterated min-label propagation
+    over the adjacency matrix instead of a host connected-components pass,
+    and every cluster is merged by projecting member endpoints onto its
+    length-weighted mean direction).
+
+    segs (B, L, 2, 2), valid (B, L). Returns (merged (B, L, 2, 2),
+    merged_valid (B, L)) where each cluster survives in its lowest-index
+    member slot.
+    """
+    b, n = segs.shape[:2]
+    orth = orth_line_dist(segs, segs)
+    ov01 = overlap_fraction(segs, segs)
+    ov = jnp.maximum(ov01, jnp.swapaxes(ov01, -1, -2))
+    pair_valid = valid[:, :, None] & valid[:, None, :]
+    adj = (ov > 0.0) & (orth < thresh) & pair_valid
+    adj = adj | (jnp.eye(n, dtype=bool)[None] & valid[:, :, None])
+    # connected components: repeated min-label propagation (diameter of the
+    # merge graphs is tiny; n_iters=8 covers chains of 2^8 segments)
+    labels = jnp.where(valid, jnp.arange(n)[None], n)
+    for _ in range(n_iters):
+        neigh = jnp.where(adj, labels[:, None, :], n)
+        labels = jnp.minimum(labels, jnp.min(neigh, axis=-1))
+    onehot = (labels[:, :, None] == jnp.arange(n)[None, None]) & valid[:, :, None]
+    onehot_f = onehot.astype(segs.dtype)  # (B, L members, L clusters)
+    d = segs[:, :, 1] - segs[:, :, 0]
+    length = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    u = d / jnp.maximum(length, 1e-8)
+    # sign-align member directions to the longest member's (cluster seed)
+    len_in_cluster = onehot_f * length[:, :, 0][:, :, None]
+    seed_idx = jnp.argmax(len_in_cluster, axis=1)  # (B, L clusters)
+    seed_u = jnp.take_along_axis(u, seed_idx[..., None], axis=1)  # (B, C, 2)
+    sign = jnp.sign(
+        jnp.einsum("bld,bcd->blc", u, seed_u) + 1e-12
+    )  # (B, L, C)
+    w = onehot_f * length[:, :, 0][:, :, None]  # length-weighted
+    mean_u = jnp.einsum("blc,blc,bld->bcd", w, sign, u)
+    mean_u = mean_u / jnp.maximum(
+        jnp.linalg.norm(mean_u, axis=-1, keepdims=True), 1e-8
+    )
+    center = jnp.einsum("blc,bld->bcd", w, 0.5 * (segs[:, :, 0] + segs[:, :, 1]))
+    center = center / jnp.maximum(jnp.sum(w, axis=1)[..., None], 1e-8)
+    # project all member endpoints onto the cluster axis, take the extent
+    eps = segs.reshape(b, 2 * n, 2)
+    t = jnp.einsum(
+        "becd,bcd->bec", eps[:, :, None, :] - center[:, None, :, :], mean_u
+    )
+    member = jnp.repeat(onehot_f, 2, axis=1)  # (B, 2L, C)
+    t_min = jnp.min(jnp.where(member > 0, t, jnp.inf), axis=1)
+    t_max = jnp.max(jnp.where(member > 0, t, -jnp.inf), axis=1)
+    p0 = center + t_min[..., None] * mean_u
+    p1 = center + t_max[..., None] * mean_u
+    merged = jnp.stack([p0, p1], axis=2)  # (B, C, 2, 2)
+    merged_valid = (labels == jnp.arange(n)[None]) & valid
+    merged = jnp.where(merged_valid[..., None, None], merged, 0.0)
+    merged = jnp.where(jnp.isfinite(merged), merged, 0.0)
+    return merged, merged_valid

@@ -192,3 +192,47 @@ def test_gt_line_matches_from_pose_depth_plane():
     assert matched.sum() >= L - 1  # borders may clip one
     expected = np.argsort(perm)
     assert (m0[matched] == expected[matched]).all()
+
+
+def test_merge_lines_clusters_and_extends():
+    from gluefactory_tpu.geometry.lines import merge_lines
+
+    segs = jnp.asarray([[
+        [[0.0, 0.0], [10.0, 0.0]],
+        [[5.0, 0.3], [20.0, 0.3]],   # overlaps + near-collinear with 0
+        [[19.0, 0.2], [30.0, 0.1]],  # chains onto 1
+        [[50.0, 50.0], [60.0, 60.0]],
+        [[0.0, 0.0], [0.0, 0.0]],
+    ]])
+    valid = jnp.asarray([[True, True, True, True, False]])
+    merged, mv = jax.jit(merge_lines)(segs, valid)
+    merged, mv = np.asarray(merged), np.asarray(mv)
+    assert mv[0].tolist() == [True, False, False, True, False]
+    # the chain 0-1-2 merges into one segment spanning x ~ [0, 30]
+    xs = merged[0, 0, :, 0]
+    assert xs.min() < 1.0 and xs.max() > 29.0
+    np.testing.assert_allclose(merged[0, 3], np.asarray(segs[0, 3]), atol=1e-4)
+
+
+def test_kp_losses_peaky_and_soft_argmax():
+    from gluefactory_tpu.geometry.kp_losses import (
+        peaky_loss,
+        soft_argmax_loc_loss,
+    )
+
+    H = W = 32
+    heat_sharp = jnp.zeros((1, H, W)).at[0, 10, 12].set(1.0)
+    heat_flat = jnp.full((1, H, W), 0.5)
+    kp = jnp.asarray([[[12.0, 10.0]]])
+    valid = jnp.ones((1, 1), bool)
+    sharp = float(peaky_loss(heat_sharp, kp, valid)[0])
+    flat = float(peaky_loss(heat_flat, kp, valid)[0])
+    assert sharp < flat  # sharp peak -> lower peaky loss
+    # soft-argmax pulls toward the mass center: loss smaller when GT is at
+    # the peak than 2px away
+    gt_on = jnp.asarray([[[12.0, 10.0]]])
+    gt_off = jnp.asarray([[[14.0, 10.0]]])
+    l_on = float(soft_argmax_loc_loss(heat_sharp, kp, gt_on, valid)[0])
+    l_off = float(soft_argmax_loc_loss(heat_sharp, kp, gt_off, valid)[0])
+    assert l_on < l_off
+    assert l_on < 0.5
