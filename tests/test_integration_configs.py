@@ -23,6 +23,10 @@ CONFIGS = [
     "superpoint+nn",
     "superpoint+lightglue",
     "superpoint+lsd+gluestick",
+    "superpoint+superglue",
+    "superpoint+lightglue_adaptive",
+    "gluestick_official_compat",
+    "sift+superglue",
 ]
 
 SMALL_OVERRIDES = {
@@ -37,6 +41,25 @@ SMALL_OVERRIDES = {
             "line_extractor": {"max_num_lines": 16},
         },
         "matcher": {"n_layers": 2},
+    },
+    "superpoint+superglue": {
+        "extractor": {"max_num_keypoints": 64},
+        "matcher": {"n_layers": 2, "sinkhorn_iterations": 10},
+    },
+    "superpoint+lightglue_adaptive": {
+        "extractor": {"max_num_keypoints": 64},
+        "matcher": {"n_layers": 2},
+    },
+    "gluestick_official_compat": {
+        "extractor": {
+            "point_extractor": {"max_num_keypoints": 64},
+            "line_extractor": {"max_num_lines": 16},
+        },
+        "matcher": {"n_layers": 2},
+    },
+    "sift+superglue": {
+        "extractor": {"max_num_keypoints": 64},
+        "matcher": {"n_layers": 2, "sinkhorn_iterations": 10},
     },
 }
 
