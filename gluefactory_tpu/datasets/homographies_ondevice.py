@@ -317,3 +317,148 @@ class _SeedLoader:
 
 
 __main_dataset__ = OnDeviceHomographyDataset
+
+
+class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
+    """Cached-feature variant (≙ the reference's stage-1 recipe with
+    load_features.do, homographies.py:175-278): the pool holds SuperPoint
+    features extracted ONCE from the source images; each step warps keypoint
+    positions analytically by the sampled homographies and perturbs the
+    descriptors, so the jitted train step contains ONLY the matcher —
+    compiles in seconds and steps are matcher-bound.
+
+    Both views reuse the source image's descriptors (exactly like the
+    reference's cached path); ``desc_noise``/``desc_dropout`` decorrelate the
+    views so the matcher can't shortcut on bit-identical descriptors.
+    """
+
+    default_conf: ClassVar[dict] = {
+        **OnDeviceHomographyDataset.default_conf,
+        "name": "homographies_ondevice_cached",
+        "features_from": {
+            "experiment": None,  # checkpoint experiment holding the extractor
+            "max_num_keypoints": 512,
+            "detection_threshold": 0.0005,
+            "nms_radius": 4,
+            "batch": 16,
+        },
+        "desc_noise": 0.05,
+        "desc_dropout": 0.05,
+    }
+
+    def build_pool(self, split: str = "train") -> dict:
+        if split in self._pools:
+            return self._pools[split]
+        import jax
+
+        from ..models import build_model
+        from ..utils.experiments import load_experiment, restore_from_flat_dict
+
+        base = OnDeviceHomographyDataset.build_pool(self, split)
+        self._pools.pop(split)  # replace the image pool with a feature pool
+        fconf = self.conf.features_from
+        extractor = build_model(
+            "extractors.superpoint",
+            {
+                "max_num_keypoints": int(fconf.max_num_keypoints),
+                "detection_threshold": float(fconf.detection_threshold),
+                "nms_radius": int(fconf.nms_radius),
+            },
+        )
+        images = base["images"].astype(np.float32) / 255.0
+        n, h, w = images.shape[:3]
+        bs = int(fconf.batch)
+        data0 = {
+            "image": jnp.asarray(images[:1]),
+            "image_size": jnp.full((1, 2), float(w), jnp.float32),
+        }
+        params = extractor.init(jax.random.key(0), data0)
+        if fconf.experiment:
+            blob, _ = load_experiment(str(fconf.experiment), best=False)
+            flat = blob["state"]["params"]
+            # accept both standalone-extractor and pipeline checkpoints
+            flat = {
+                k.replace("['extractor']", ""): v for k, v in flat.items()
+            }
+            params = restore_from_flat_dict(params, flat)
+        apply_fn = jax.jit(extractor.apply)
+        kpts, descs, scores, valid = [], [], [], []
+        size = jnp.asarray([[float(w), float(h)]], jnp.float32)
+        for i in range(0, n, bs):
+            chunk = jnp.asarray(images[i : i + bs])
+            pred = apply_fn(
+                params,
+                {"image": chunk,
+                 "image_size": jnp.broadcast_to(size, (chunk.shape[0], 2))},
+            )
+            kpts.append(np.asarray(pred["keypoints"]))
+            descs.append(np.asarray(pred["descriptors"], np.float16))
+            scores.append(np.asarray(pred["keypoint_scores"]))
+            valid.append(np.asarray(pred["keypoint_valid"]))
+        pool = {
+            "keypoints": np.concatenate(kpts),
+            "descriptors": np.concatenate(descs),
+            "keypoint_scores": np.concatenate(scores),
+            "keypoint_valid": np.concatenate(valid),
+            "source_size": np.asarray([w, h], np.float32),
+        }
+        self._pools[split] = pool
+        return pool
+
+    def make_batch(self, pool: dict, key: jax.Array, split: str = "train") -> dict:
+        conf = self.conf
+        bsz = int(conf.val_batch_size if split == "val" else conf.train_batch_size)
+        s = int(conf.image_size)
+        ws, hs = (float(x) for x in conf.source_size)  # static (conf), the
+        # pool entry only documents the extraction frame
+        m = pool["keypoints"].shape[0]
+        (k_idx, k_h0, k_h1, k_n0, k_n1, k_d0, k_d1) = jax.random.split(key, 7)
+        idx = jax.random.randint(k_idx, (bsz,), 0, m)
+        kp_src = pool["keypoints"][idx]
+        desc = pool["descriptors"][idx].astype(jnp.float32)
+        sc = pool["keypoint_scores"][idx]
+        kv = pool["keypoint_valid"][idx]
+
+        hconf = conf.homography
+        H0, _ = sample_homography_batch(
+            k_h0, bsz, (int(ws), int(hs)), (s, s),
+            difficulty=float(hconf.difficulty) * (0.3 if conf.right_only else 1.0),
+            translation=float(hconf.translation),
+            max_angle=float(hconf.max_angle) * (0.3 if conf.right_only else 1.0),
+        )
+        H1, _ = sample_homography_batch(
+            k_h1, bsz, (int(ws), int(hs)), (s, s),
+            difficulty=float(hconf.difficulty),
+            translation=float(hconf.translation),
+            max_angle=float(hconf.max_angle),
+        )
+
+        def view(H, k_noise, k_drop):
+            kp = warp_points(kp_src, H)
+            inside = (
+                (kp[..., 0] >= 0.0) & (kp[..., 0] <= s - 1.0)
+                & (kp[..., 1] >= 0.0) & (kp[..., 1] <= s - 1.0)
+            )
+            d = desc + float(conf.desc_noise) * jax.random.normal(
+                k_noise, desc.shape
+            )
+            d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+            drop = jax.random.bernoulli(
+                k_drop, float(conf.desc_dropout), kv.shape
+            )
+            return {
+                "cache": {
+                    "keypoints": kp,
+                    "descriptors": d,
+                    "keypoint_scores": sc,
+                    "keypoint_valid": kv & inside & ~drop,
+                },
+                "image_size": jnp.full((bsz, 2), float(s), jnp.float32),
+            }
+
+        return {
+            "view0": view(H0, k_n0, k_d0),
+            "view1": view(H1, k_n1, k_d1),
+            "H_0to1": H1 @ jnp.linalg.inv(H0),
+        }
+
