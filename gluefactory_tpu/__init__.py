@@ -13,6 +13,17 @@ with named-axis collectives.
 """
 
 import logging
+import os
+
+# Platform escape hatch: site customizations can pin every process to a
+# remote accelerator backend before env vars are read; GFTPU_PLATFORM=cpu
+# (set before importing this package) re-routes through jax.config, which
+# still works as long as no backend has been initialized — e.g. to run an
+# eval on host CPU while a training job owns the accelerator.
+if os.environ.get("GFTPU_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["GFTPU_PLATFORM"])
 
 __module_name__ = "gluefactory_tpu"
 __version__ = "0.1.0"

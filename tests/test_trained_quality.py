@@ -1,0 +1,134 @@
+"""Numeric integration gates on the COMMITTED trained weights — the
+counterpart of the reference's tests/test_integration.py:108-110, which
+asserts matches>1300 / prec@3px>0.8 / H_error_ransac<1px with downloaded
+pretrained models on a real pair. Zero-egress equivalent: weights trained
+in-repo on the on-device engine (weights/*.f16.msgpack, exported by
+scripts/export_weights.py), evaluated on freshly rendered benchmark
+sequences from a seed stream disjoint from every training pool."""
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gluefactory_tpu.models import build_model
+from gluefactory_tpu.robust_estimators import load_estimator
+from gluefactory_tpu.scripts.export_weights import load_weight_blob
+from gluefactory_tpu.settings import WEIGHTS_PATH
+from gluefactory_tpu.utils.experiments import restore_from_flat_dict
+from gluefactory_tpu.utils.image import read_image
+
+SP_BLOB = WEIGHTS_PATH / "sp_tpu_stage0.f16.msgpack"
+LG_BLOB = WEIGHTS_PATH / "lg_tpu_stage1_r2.f16.msgpack"
+
+
+def render_pairs(tmp_path, n_seqs=3):
+    from gluefactory_tpu.scripts.generate_eval_set import render_sequence
+
+    pairs = []
+    for s in range(n_seqs):
+        seq = tmp_path / f"v_q{s}"
+        render_sequence(seq, np.random.default_rng((424242, s)), (480, 360))
+        img0 = read_image(seq / "1.ppm").astype(np.float32) / 255.0
+        for k in (2, 4):
+            img1 = read_image(seq / f"{k}.ppm").astype(np.float32) / 255.0
+            H = np.loadtxt(seq / f"H_1_{k}").astype(np.float32)
+            pairs.append((img0, img1, H))
+    return pairs
+
+
+def build_pipeline(with_lg: bool):
+    conf = {
+        "extractor": {
+            "name": "extractors.superpoint",
+            "max_num_keypoints": 512,
+            "detection_threshold": 0.005,
+            "nms_radius": 4,
+        },
+        "matcher": (
+            {"name": "matchers.lightglue", "n_layers": 6,
+             "filter_threshold": 0.1, "checkpointed": False,
+             "save_layer_outputs": False}
+            if with_lg
+            else {"name": "matchers.nearest_neighbor_matcher"}
+        ),
+    }
+    model = build_model("two_view_pipeline", conf)
+    data0 = {
+        "view0": {"image": jnp.zeros((1, 360, 480, 3)),
+                  "image_size": jnp.asarray([[480.0, 360.0]])},
+        "view1": {"image": jnp.zeros((1, 360, 480, 3)),
+                  "image_size": jnp.asarray([[480.0, 360.0]])},
+    }
+    params = model.init(jax.random.key(0), data0)
+    # the SP experiment is itself a two_view_pipeline, so its flat keys
+    # (['params']['extractor']...) line up with this pipeline's tree
+    flat, _, _ = load_weight_blob(SP_BLOB)
+    params = restore_from_flat_dict(params, flat)
+    if with_lg:
+        lg_flat, _, _ = load_weight_blob(LG_BLOB)
+        params = restore_from_flat_dict(params, lg_flat)
+    return model, params
+
+
+def run_quality(model, params, pairs):
+    from gluefactory_tpu.geometry.homography import homography_corner_error
+
+    apply_fn = jax.jit(model.apply)
+    stats = {"matches": [], "prec3": [], "h_err": []}
+    est = load_estimator("homography", "ransac")(
+        {"ransac_th": 3.0, "num_hypotheses": 512, "lo_iters": 4}
+    )
+    for img0, img1, H in pairs:
+        data = {
+            "view0": {"image": jnp.asarray(img0)[None],
+                      "image_size": jnp.asarray([[img0.shape[1], img0.shape[0]]], jnp.float32)},
+            "view1": {"image": jnp.asarray(img1)[None],
+                      "image_size": jnp.asarray([[img1.shape[1], img1.shape[0]]], jnp.float32)},
+        }
+        pred = apply_fn(params, data)
+        kp0 = np.asarray(pred["keypoints0"][0])
+        kp1 = np.asarray(pred["keypoints1"][0])
+        m0 = np.asarray(pred["matches0"][0])
+        valid = m0 > -1
+        mk0 = kp0[valid]
+        mk1 = kp1[m0[valid]]
+        stats["matches"].append(int(valid.sum()))
+        # precision under GT H
+        from gluefactory_tpu.geometry.homography import warp_points_np
+
+        wp = warp_points_np(mk0, H)
+        err = np.linalg.norm(wp - mk1, axis=-1)
+        stats["prec3"].append(float((err < 3).mean()) if len(err) else 0.0)
+        out = est({
+            "m_kpts0": jnp.asarray(mk0) if valid.sum() >= 4 else jnp.zeros((4, 2)),
+            "m_kpts1": jnp.asarray(mk1) if valid.sum() >= 4 else jnp.zeros((4, 2)),
+        })
+        h_err = float(np.asarray(homography_corner_error(
+            out["M_0to1"], jnp.asarray(H),
+            jnp.asarray([img0.shape[1], img0.shape[0]], jnp.float32),
+        )))
+        stats["h_err"].append(h_err)
+    return stats
+
+
+@pytest.mark.skipif(not SP_BLOB.exists(), reason="no committed SP weights")
+def test_trained_superpoint_nn_quality(tmp_path):
+    pairs = render_pairs(tmp_path)
+    model, params = build_pipeline(with_lg=False)
+    stats = run_quality(model, params, pairs)
+    assert np.median(stats["matches"]) > 80, stats
+    assert np.median(stats["prec3"]) > 0.4, stats
+    assert np.median(stats["h_err"]) < 5.0, stats
+
+
+@pytest.mark.skipif(not LG_BLOB.exists(), reason="no committed LightGlue weights")
+def test_trained_superpoint_lightglue_quality(tmp_path):
+    pairs = render_pairs(tmp_path)
+    model, params = build_pipeline(with_lg=True)
+    stats = run_quality(model, params, pairs)
+    assert np.median(stats["matches"]) > 100, stats
+    assert np.median(stats["prec3"]) > 0.5, stats
+    assert np.median(stats["h_err"]) < 3.0, stats
