@@ -170,6 +170,9 @@ class DataLoader:
         # train.py:408-409 / megadepth.py:160-249)
         if hasattr(self.dataset, "sample_new_items"):
             self.dataset.sample_new_items(epoch)
+        # per-epoch reconfiguration (e.g. scannet multiscale cycling)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)

@@ -68,3 +68,56 @@ def test_timing_harness_runs():
     )
     out = measure_pipeline(model, batch=1, size=32, iters=2, warmup=1)
     assert out["pairs_per_s"] > 0 and np.isfinite(out["ms_per_pair"])
+
+
+def test_scannet_scene_sampling_and_multiscale(tmp_path):
+    """Scene-structured equidistant sampling + per-epoch multiscale cycling
+    (reference scannet.py:145-211, 509-598)."""
+    import cv2
+    import h5py
+
+    from gluefactory_tpu.datasets import get_dataset
+
+    root = tmp_path / "scannet" / "images"
+    gt_file = tmp_path / "scannet" / "gt_fields.h5"
+    gt_file.parent.mkdir(parents=True, exist_ok=True)
+    rng2 = np.random.default_rng(0)
+    with h5py.File(str(gt_file), "w") as f:
+        for s in range(3):
+            scene = root / f"scene{s:04d}" / "color"
+            scene.mkdir(parents=True)
+            for i in range(12):
+                img = (rng2.uniform(0, 255, (48, 64, 3))).astype(np.uint8)
+                cv2.imwrite(str(scene / f"{i:03d}.jpg"), img)
+                g = f.create_group(f"scene{s:04d}/color/{i:03d}.jpg")
+                g.create_dataset("heatmap", data=rng2.uniform(0, 1, (48, 64)).astype(np.float32))
+    ds = get_dataset("scannet")(
+        {
+            "images": str(root), "gt_file": str(gt_file),
+            "num_images": 8,  # budget < total -> equidistant subsampling
+            "val_scene_frac": 0.34,
+            "multiscale_sizes": [64, 96],
+            "preprocessing": {"resize": 64, "side": "long", "square_pad": True},
+            "num_workers": 0, "train_batch_size": 2,
+            "fields": ["heatmap"],
+        }
+    )
+    tr = ds.get_dataset("train")
+    va = ds.get_dataset("val")
+    # scenes are disjoint between splits
+    tr_scenes = {p.parts[-3] for p in tr.paths}
+    va_scenes = {p.parts[-3] for p in va.paths}
+    assert tr_scenes and va_scenes and not (tr_scenes & va_scenes)
+    # equidistant budget: ~4/scene from 12 frames, spread across the range
+    per_scene = [p.stem for p in tr.paths if p.parts[-3] == sorted(tr_scenes)[0]]
+    assert 3 <= len(per_scene) <= 5
+    assert per_scene[0] == "000" and int(per_scene[-1]) >= 9
+    # multiscale: epoch cycles the resize
+    loader = ds.get_data_loader("train")
+    loader.set_epoch(0)
+    b0 = next(iter(loader))
+    loader.set_epoch(1)
+    b1 = next(iter(loader))
+    assert b0["image"].shape[1:3] == (64, 64)
+    assert b1["image"].shape[1:3] == (96, 96)
+    assert b0["gt_heatmap"].shape[1:] == (64, 64)
