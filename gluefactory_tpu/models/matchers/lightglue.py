@@ -211,6 +211,9 @@ class LightGlue(BaseModel):
         "n_layers": 9,
         "num_heads": 4,
         "flash": True,  # Pallas fused attention on TPU
+        "attention": None,  # force an impl: 'xla' | 'pallas' | 'ring'
+        # ('ring' = token-axis-sharded sequence parallelism; wrap the apply
+        # in ops.attention.ring_context(mesh, axis))
         "filter_threshold": 0.1,
         "depth_confidence": -1,  # adaptive depth (eval-only); -1 = off
         "width_confidence": -1,  # adaptive width via masking; -1 = off
@@ -237,7 +240,7 @@ class LightGlue(BaseModel):
         # Learnable Fourier features: 2 (+2 with scale/ori) -> head_dim/2.
         in_dim = 4 if conf.add_scale_ori else 2
         self.posenc = nn.Dense(head_dim // 2, use_bias=False, name="posenc")
-        attn_impl = "auto" if conf.flash else "xla"
+        attn_impl = conf.attention or ("auto" if conf.flash else "xla")
         layer = TransformerLayer
         if conf.checkpointed:
             layer = nn.remat(TransformerLayer, static_argnums=())

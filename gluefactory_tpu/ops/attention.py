@@ -305,6 +305,8 @@ def attention(
         implementation = (
             "pallas" if (_HAS_PLTPU and _on_tpu() and _pallas_usable()) else "xla"
         )
+    if implementation == "ring":
+        return _ring_dispatch(q, k, v, kv_mask)
     if implementation == "pallas":
         return _attention_fused(q, k, v, kv_mask)
     return attention_xla(q, k, v, kv_mask)
@@ -411,4 +413,52 @@ def self_attention_rotary(
         return _self_attention_rotary_fused(q, k, v, cos, sin, kv_mask)
     qr = apply_rotary(q, cos, sin)
     kr = apply_rotary(k, cos, sin)
+    if implementation == "ring":
+        return _ring_dispatch(qr, kr, v, kv_mask)
     return attention_xla(qr, kr, v, kv_mask)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel (ring) dispatch
+# ---------------------------------------------------------------------------
+
+_RING_CTX: dict | None = None
+
+
+class ring_context:
+    """Route ``attention(..., implementation='ring')`` calls through
+    parallel/ring_attention over the given mesh axis — models stay oblivious
+    to the mesh (SURVEY.md §5.7 sequence-parallel plan):
+
+        with ring_context(mesh, axis="seq"):
+            pred = model.apply(params, data)   # attn_impl='ring' inside
+    """
+
+    def __init__(self, mesh, axis: str = "seq"):
+        self.ctx = {"mesh": mesh, "axis": axis}
+
+    def __enter__(self):
+        global _RING_CTX
+        self._prev = _RING_CTX
+        _RING_CTX = self.ctx
+        return self
+
+    def __exit__(self, *exc):
+        global _RING_CTX
+        _RING_CTX = self._prev
+        return False
+
+
+def _ring_dispatch(q, k, v, kv_mask):
+    if _RING_CTX is None:
+        raise RuntimeError(
+            "implementation='ring' requires an active ops.attention.ring_context"
+        )
+    from ..parallel.ring_attention import ring_attention
+
+    if kv_mask is None:
+        kv_mask = jnp.ones(k.shape[:1] + k.shape[2:3], bool)
+    return ring_attention(
+        q, k, v, mesh=_RING_CTX["mesh"], kv_mask=kv_mask,
+        axis=_RING_CTX["axis"],
+    )
