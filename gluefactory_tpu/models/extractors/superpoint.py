@@ -140,9 +140,9 @@ class SuperPoint(BaseModel):
             logits = logits.astype(jnp.float32)
             probs = nn.softmax(logits, axis=-1)[..., :-1]  # drop dustbin
             # (B, Hc, Wc, 64) -> full-res heatmap (B, H, W)
-            heat = probs.reshape(b, hc, wc, 8, 8)
-            heat = heat.transpose(0, 1, 3, 2, 4).reshape(b, hc * 8, wc * 8)
-            heat = simple_nms(heat, self.conf.nms_radius)
+            heat_raw = probs.reshape(b, hc, wc, 8, 8)
+            heat_raw = heat_raw.transpose(0, 1, 3, 2, 4).reshape(b, hc * 8, wc * 8)
+            heat = simple_nms(heat_raw, self.conf.nms_radius)
             image_size = data.get("image_size")
             keypoints, scores, valid = select_top_k_keypoints(
                 heat,
@@ -152,8 +152,10 @@ class SuperPoint(BaseModel):
                 image_size=image_size,
             )
             if self.conf.refinement_radius > 0:
+                # refine on the PRE-NMS heatmap: NMS zeroes the neighborhood
+                # the soft-argmax needs
                 keypoints = soft_argmax_refinement(
-                    keypoints, heat, self.conf.refinement_radius
+                    keypoints, heat_raw, self.conf.refinement_radius
                 )
             pred.update(
                 {
