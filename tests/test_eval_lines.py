@@ -110,3 +110,93 @@ def test_rdnim_lines_pipeline(tmp_path):
     summaries, results = pipeline.run(tmp_path / "run_rdnim")
     assert summaries["mnum_lines0"] > 3
     assert "morth_rep@5.0" in summaries
+
+
+def test_megadepth1500_extended_line_metrics(tmp_path):
+    """Exact-correspondence line pairs under a known relative pose must score
+    line_epi_prec == 1; a corrupted match scores lower."""
+    import h5py
+    import torch  # noqa: F401  (ensures torch-free path not required)
+
+    from gluefactory_tpu.eval.megadepth1500_extended import (
+        MegaDepth1500ExtendedPipeline,
+    )
+    from gluefactory_tpu.geometry.wrappers import Camera, Pose
+
+    rng2 = np.random.default_rng(0)
+    f = 200.0
+    K = np.array([[f, 0, 80], [0, f, 60], [0, 0, 1]], np.float32)
+    cam = Camera.from_calibration_matrix(K[None], size=jnp.asarray([[160.0, 120.0]]))
+    aa = jnp.asarray([[0.02, -0.03, 0.01]], jnp.float32)
+    t = jnp.asarray([[0.3, 0.05, 0.02]], jnp.float32)
+    T = Pose.from_aa(aa[0], t[0])
+    # 3D segments -> exact 2D projections in both views
+    p3d_a = rng2.uniform([-1, -1, 4], [1, 1, 6], (6, 3)).astype(np.float32)
+    p3d_b = p3d_a + rng2.uniform(-0.5, 0.5, (6, 3)).astype(np.float32)
+
+    def project(p3d, Tm=None):
+        p = jnp.asarray(p3d)[None]
+        if Tm is not None:
+            p = Tm.transform(p)
+        uv, _ = cam.cam2image(p)
+        return np.asarray(uv[0])
+
+    l0 = np.stack([project(p3d_a), project(p3d_b)], axis=1)  # (6, 2, 2)
+    l1 = np.stack([project(p3d_a, T), project(p3d_b, T)], axis=1)
+    kp = rng2.uniform(0, 100, (8, 2)).astype(np.float32)
+
+    pred_file = tmp_path / "predictions.h5"
+    name = "pair0"
+    with h5py.File(str(pred_file), "w") as hf:
+        g = hf.create_group(name)
+        g.create_dataset("keypoints0", data=kp)
+        g.create_dataset("keypoints1", data=kp)
+        g.create_dataset("matches0", data=-np.ones(8, np.int32))
+        g.create_dataset("matching_scores0", data=np.zeros(8, np.float32))
+        g.create_dataset("lines0", data=l0.astype(np.float32))
+        g.create_dataset("lines1", data=l1.astype(np.float32))
+        g.create_dataset("valid_lines0", data=np.ones(6, bool))
+        g.create_dataset("valid_lines1", data=np.ones(6, bool))
+        g.create_dataset("line_matches0", data=np.arange(6, dtype=np.int32))
+
+    batch = {
+        "name": [name],
+        "camera0": cam, "camera1": cam,
+        "T_0to1": Pose.from_aa(aa, t),
+        "view0": {"image_size": jnp.asarray([[160.0, 120.0]])},
+        "view1": {"image_size": jnp.asarray([[160.0, 120.0]])},
+    }
+    pipe = MegaDepth1500ExtendedPipeline.__new__(MegaDepth1500ExtendedPipeline)
+    from gluefactory_tpu.core.config import Config
+
+    merged = {}
+    for klass in reversed(type(pipe).__mro__):
+        dc = klass.__dict__.get("default_conf")
+        if dc:
+            merged = Config(merged).merge(dc).to_dict()
+    pipe.conf = Config(merged)
+
+    line_results = {}
+    # drive only the line section: monkeypatch the base run_eval away
+    import gluefactory_tpu.eval.megadepth1500 as md
+
+    orig = md.MegaDepth1500Pipeline.run_eval
+    md.MegaDepth1500Pipeline.run_eval = lambda self, l, p: ({}, {}, {})
+    try:
+        summaries, _, results = pipe.run_eval([batch], pred_file)
+    finally:
+        md.MegaDepth1500Pipeline.run_eval = orig
+    assert summaries["mline_epi_prec@1e-03"] == 1.0, summaries
+    assert summaries["mnum_line_matches"] == 6
+    # corrupt one match -> precision drops
+    with h5py.File(str(pred_file), "a") as hf:
+        lm = np.arange(6, dtype=np.int32)
+        lm[0] = 3
+        del hf[name]["line_matches0"]
+        hf[name].create_dataset("line_matches0", data=lm)
+    md.MegaDepth1500Pipeline.run_eval = lambda self, l, p: ({}, {}, {})
+    try:
+        summaries2, _, _ = pipe.run_eval([batch], pred_file)
+    finally:
+        md.MegaDepth1500Pipeline.run_eval = orig
+    assert summaries2["mline_epi_prec@1e-03"] < 1.0
