@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry.lines import (
+    area_line_dist,
     orth_line_dist,
     overlap_fraction,
     struct_line_dist,
@@ -29,12 +30,15 @@ def segment_distance_matrix(
     kind: str = "orth",
     min_overlap: float = 0.5,
 ) -> jnp.ndarray:
-    """(B, L0, 2, 2) x (B, L1, 2, 2) -> (B, L0, L1) distances. 'orth' gates
+    """(B, L0, 2, 2) x (B, L1, 2, 2) -> (B, L0, L1) distances. 'area' is the
+    length-unbiased enclosed-area distance; 'orth' gates
     pairs whose mutual projection overlap is below ``min_overlap`` to a huge
     distance (reference get_orth_dist); 'struct' is the endpoint-wise
     structural distance (orientation-invariant min over orderings)."""
     if kind == "struct":
         return struct_line_dist(segs0, segs1)
+    if kind == "area":
+        return area_line_dist(segs0, segs1)
     d = orth_line_dist(segs0, segs1)
     # mutual-min overlap gating (reference get_orth_dist mode='min')
     ov01 = overlap_fraction(segs0, segs1)

@@ -288,3 +288,42 @@ def merge_lines(
     merged = jnp.where(merged_valid[..., None, None], merged, 0.0)
     merged = jnp.where(jnp.isfinite(merged), merged, 0.0)
     return merged, merged_valid
+
+
+def area_line_dist(segs0: jnp.ndarray, segs1: jnp.ndarray, lbd: float = 1.0 / 24.0) -> jnp.ndarray:
+    """Length-unbiased 'area' line distance (reference
+    utils/ls_evaluation.py:get_area_line_dist:168): the area enclosed between
+    two segments, normalized by length — symmetrized over both directions.
+    (..., L0, L1)."""
+
+    def asym(a, b):
+        # project a's endpoints onto b's line: heights h0, h1 and the angle
+        d_b = b[..., 1, :] - b[..., 0, :]  # (..., L1, 2)
+        len_b = jnp.linalg.norm(d_b, axis=-1)
+        u_b = d_b / jnp.maximum(len_b, 1e-8)[..., None]
+        d_a = a[..., 1, :] - a[..., 0, :]
+        len_a = jnp.linalg.norm(d_a, axis=-1)
+        u_a = d_a / jnp.maximum(len_a, 1e-8)[..., None]
+        # pairwise expand
+        a0 = a[..., :, None, 0, :]
+        a1 = a[..., :, None, 1, :]
+        b0 = b[..., None, :, 0, :]
+        ub = u_b[..., None, :, :]
+        ua = u_a[..., :, None, :]
+        lb = len_b[..., None, :]
+        cross = jnp.abs(ua[..., 0] * ub[..., 1] - ua[..., 1] * ub[..., 0])
+        sin_t = jnp.clip(cross, 1e-6, 1.0)
+        h0 = jnp.abs(
+            (a0 - b0)[..., 0] * ub[..., 1] - (a0 - b0)[..., 1] * ub[..., 0]
+        )
+        h1 = jnp.abs(
+            (a1 - b0)[..., 0] * ub[..., 1] - (a1 - b0)[..., 1] * ub[..., 0]
+        )
+        tan_t = sin_t / jnp.sqrt(jnp.clip(1.0 - sin_t**2, 1e-6, 1.0))
+        area = (h0**2 + h1**2) / (2.0 * tan_t * jnp.maximum(lb, 1e-8) ** 2)
+        # near-parallel pairs: fall back to the mean-height trapezoid area
+        parallel = cross < 1e-3
+        trapezoid = 0.5 * (h0 + h1) / jnp.maximum(lb, 1e-8)
+        return jnp.where(parallel, lbd + trapezoid, area)
+
+    return 0.5 * (asym(segs0, segs1) + jnp.swapaxes(asym(segs1, segs0), -1, -2))

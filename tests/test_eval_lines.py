@@ -200,3 +200,14 @@ def test_megadepth1500_extended_line_metrics(tmp_path):
     finally:
         md.MegaDepth1500Pipeline.run_eval = orig
     assert summaries2["mline_epi_prec@1e-03"] < 1.0
+
+
+def test_area_distance_ranks_sanely():
+    from gluefactory_tpu.eval.line_metrics import segment_distance_matrix
+
+    base = jnp.asarray([[[[0.0, 0.0], [10.0, 0.0]]]])
+    close = jnp.asarray([[[[0.0, 0.5], [10.0, 0.7]]]])
+    far = jnp.asarray([[[[0.0, 20.0], [10.0, 28.0]]]])
+    d_close = float(segment_distance_matrix(base, close, kind="area")[0, 0, 0])
+    d_far = float(segment_distance_matrix(base, far, kind="area")[0, 0, 0])
+    assert d_close < d_far
