@@ -26,6 +26,7 @@ CONFIGS = [
     "superpoint+superglue",
     "superpoint+lightglue_adaptive",
     "gluestick_official_compat",
+    "aliked_official_compat",
     "sift+superglue",
 ]
 
@@ -60,6 +61,10 @@ SMALL_OVERRIDES = {
     "sift+superglue": {
         "extractor": {"max_num_keypoints": 64},
         "matcher": {"n_layers": 2, "sinkhorn_iterations": 10},
+    },
+    "aliked_official_compat": {
+        "extractor": {"model_name": "aliked-t16", "max_num_keypoints": 64,
+                      "detection_threshold": -1e9},
     },
 }
 

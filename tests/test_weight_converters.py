@@ -444,3 +444,282 @@ def test_gluestick_converter_parity():
     np.testing.assert_allclose(
         np.asarray(pred["line_log_assignment"]), ln_t.numpy(), atol=2e-3
     )
+
+
+# --------------------------------------------------------------------------
+# ALIKED (reference gluefactory/models/extractors/aliked.py:369-884)
+# --------------------------------------------------------------------------
+
+def _rand_state_aliked(c1=8, c2=16, c3=32, c4=64, dim=64, K=3, M=16):
+    """State dict shaped/named like the official Shiaoming/ALIKED aliked-t16
+    checkpoint (conv bias=False + BatchNorm, DCN offset/regular convs,
+    bias-carrying 1x1 downsamples, bias-free agg/score-head convs, SDDH)."""
+    sd = {}
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = torch.rand(c) * 0.5 + 0.75
+        sd[f"{prefix}.bias"] = torch.randn(c) * 0.05
+        sd[f"{prefix}.running_mean"] = torch.randn(c) * 0.05
+        sd[f"{prefix}.running_var"] = torch.rand(c) + 0.5
+
+    def conv(prefix, cin, cout, k, bias=False, scale=None):
+        fan = cin * k * k
+        sd[f"{prefix}.weight"] = torch.randn(cout, cin, k, k) * (
+            scale if scale is not None else (1.5 / np.sqrt(fan))
+        )
+        if bias:
+            sd[f"{prefix}.bias"] = torch.randn(cout) * 0.05
+
+    conv("block1.conv1", 3, c1, 3); bn("block1.bn1", c1)
+    conv("block1.conv2", c1, c1, 3); bn("block1.bn2", c1)
+    conv("block2.conv1", c1, c2, 3); bn("block2.bn1", c2)
+    conv("block2.conv2", c2, c2, 3); bn("block2.bn2", c2)
+    conv("block2.downsample", c1, c2, 1, bias=True)
+    for name, cin, cout in [("block3", c2, c3), ("block4", c3, c4)]:
+        for li, (ci, co) in enumerate([(cin, cout), (cout, cout)], 1):
+            # small offsets keep the DCN samples well inside the map
+            conv(f"{name}.conv{li}.offset_conv", ci, 18, 3, bias=True,
+                 scale=0.02)
+            conv(f"{name}.conv{li}.regular_conv", ci, co, 3)
+            bn(f"{name}.bn{li}", co)
+        conv(f"{name}.downsample", cin, cout, 1, bias=True)
+    for i, ci in enumerate([c1, c2, c3, c4], 1):
+        conv(f"conv{i}", ci, dim // 4, 1)
+    conv("score_head.0", dim, 8, 1)
+    conv("score_head.2", 8, 4, 3)
+    conv("score_head.4", 4, 4, 3)
+    # positive final weights keep NMS peak scores positive, so top-k ordering
+    # is score-driven on both sides (zero-score slots tie-break arbitrarily)
+    conv("score_head.6", 4, 1, 3)
+    sd["score_head.6.weight"] = sd["score_head.6.weight"].abs() + 0.05
+    conv("desc_head.offset_conv.0", dim, 2 * M, K, bias=True, scale=0.02)
+    conv("desc_head.offset_conv.2", 2 * M, 2 * M, 1, bias=True, scale=0.05)
+    conv("desc_head.sf_conv", dim, dim, 1)
+    sd["desc_head.agg_weights"] = torch.rand(M, dim, dim)
+    return sd
+
+
+def _t_bilinear_zeros(x, px, py):
+    """torchvision-style zero-padded bilinear sampling; x (C, H, W),
+    px/py (...,) -> (C, ...)."""
+    c, h, w = x.shape
+    x0, y0 = torch.floor(px), torch.floor(py)
+    fx, fy = px - x0, py - y0
+    out = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xx, yy = (x0 + dx).long(), (y0 + dy).long()
+            wgt = (fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+            inb = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+            v = x[:, yy.clamp(0, h - 1), xx.clamp(0, w - 1)]
+            out = out + v * (wgt * inb)[None]
+    return out
+
+
+def _t_deform_conv2d(x, offset, weight, pad=1):
+    """Manual torchvision.ops.deform_conv2d (no mask, stride 1, the
+    (dy, dx)-interleaved channel layout; reference aliked.py:419-426).
+    x (1, C, H, W), offset (1, 2*kk, H, W), weight (O, C, kh, kw)."""
+    _, c, h, w = x.shape
+    o, _, kh, kw = weight.shape
+    ys, xs = torch.meshgrid(
+        torch.arange(h, dtype=x.dtype), torch.arange(w, dtype=x.dtype),
+        indexing="ij",
+    )
+    out = torch.zeros(1, o, h, w, dtype=x.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            kidx = i * kw + j
+            py = ys + (i - pad) + offset[0, 2 * kidx]
+            px = xs + (j - pad) + offset[0, 2 * kidx + 1]
+            val = _t_bilinear_zeros(x[0], px, py)  # (C, H, W)
+            out += torch.einsum("oc,chw->ohw", weight[:, :, i, j], val)[None]
+    return out
+
+
+def _torch_forward_aliked(sd, image, K=3, M=16, top_k=32, nms_radius=2):
+    """Reference semantics end to end (aliked.py:833-884 + DKD top-k path +
+    SDDH), batch 1, eval-mode BN (eps 1e-5)."""
+    F = torch.nn.functional
+
+    def bn(x, prefix):
+        return F.batch_norm(
+            x, sd[f"{prefix}.running_mean"], sd[f"{prefix}.running_var"],
+            sd[f"{prefix}.weight"], sd[f"{prefix}.bias"], False, 0.0, 1e-5,
+        )
+
+    def cv(x, prefix, pad=None):
+        w = sd[f"{prefix}.weight"]
+        return F.conv2d(x, w, sd.get(f"{prefix}.bias"),
+                        padding=(w.shape[-1] - 1) // 2 if pad is None else pad)
+
+    def dcn(x, prefix):
+        hh, ww = x.shape[2:]
+        off = cv(x, f"{prefix}.offset_conv").clamp(
+            -max(hh, ww) / 4.0, max(hh, ww) / 4.0
+        )
+        return _t_deform_conv2d(x, off, sd[f"{prefix}.regular_conv.weight"])
+
+    selu = F.selu
+
+    def conv_block(x, name):  # aliked.py:490-493
+        x = selu(bn(cv(x, f"{name}.conv1"), f"{name}.bn1"))
+        return selu(bn(cv(x, f"{name}.conv2"), f"{name}.bn2"))
+
+    def res_block(x, name, deform):  # aliked.py:538-554
+        op = dcn if deform else cv
+        y = selu(bn(op(x, f"{name}.conv1"), f"{name}.bn1"))
+        y = bn(op(y, f"{name}.conv2"), f"{name}.bn2")
+        return selu(y + cv(x, f"{name}.downsample"))
+
+    # InputPadder (aliked.py:342-366)
+    h0, w0 = image.shape[2:]
+    ph, pw = (-h0) % 32, (-w0) % 32
+    pads = [pw // 2, pw - pw // 2, ph // 2, ph - ph // 2]
+    x = F.pad(image, pads, mode="replicate")
+    x1 = conv_block(x, "block1")
+    x2 = res_block(F.avg_pool2d(x1, 2, 2), "block2", False)
+    x3 = res_block(F.avg_pool2d(x2, 4, 4), "block3", True)
+    x4 = res_block(F.avg_pool2d(x3, 4, 4), "block4", True)
+    ups = [None, 2, 8, 32]
+    fs = []
+    for i, xi in enumerate([x1, x2, x3, x4], 1):
+        f = selu(cv(xi, f"conv{i}"))
+        if ups[i - 1]:
+            f = F.interpolate(f, scale_factor=ups[i - 1], mode="bilinear",
+                              align_corners=True)
+        fs.append(f)
+    x1234 = torch.cat(fs, 1)
+    s = selu(cv(x1234, "score_head.0"))
+    s = selu(cv(s, "score_head.2"))
+    s = selu(cv(s, "score_head.4"))
+    score_map = cv(s, "score_head.6")
+    feature_map = F.normalize(x1234, p=2, dim=1)
+    # unpad
+    feature_map = feature_map[..., pads[2]:pads[2] + h0, pads[0]:pads[0] + w0]
+    score_map = score_map[..., pads[2]:pads[2] + h0, pads[0]:pads[0] + w0]
+
+    # ---- DKD, top-k + sub-pixel (aliked.py:106-216) ----
+    h, w = h0, w0
+    r = nms_radius
+    nms = _torch_simple_nms(score_map, r)
+    nms[:, :, :r, :] = 0
+    nms[:, :, :, :r] = 0
+    nms[:, :, -r:, :] = 0
+    nms[:, :, :, -r:] = 0
+    topk = torch.topk(nms.view(1, -1), top_k)
+    idx = topk.indices[0]
+    kp_nms = torch.stack([idx % w, torch.div(idx, w, rounding_mode="trunc")],
+                         dim=1).float()
+    ks = 2 * r + 1
+    patches = F.unfold(score_map, ks, padding=r)[0].t()  # (H*W, ks*ks)
+    patch = patches[idx]
+    xg = torch.linspace(-r, r, ks)
+    a, b = torch.meshgrid(xg, xg, indexing="ij")
+    hw_grid = torch.stack([a, b]).view(2, -1).t()[:, [1, 0]]  # (ks*ks, 2)
+    max_v = patch.max(dim=1).values[:, None]
+    x_exp = ((patch - max_v) / 0.1).exp()
+    residual = x_exp @ hw_grid / x_exp.sum(dim=1)[:, None]
+    dist2 = torch.norm((hw_grid[None] - residual[:, None]) / r, dim=-1) ** 2
+    dispersity = (x_exp * dist2).sum(dim=1) / x_exp.sum(dim=1)
+    wh1 = torch.tensor([w - 1.0, h - 1.0])
+    kp_px = kp_nms + residual
+    kp_norm = kp_px / wh1 * 2 - 1
+    kptscore = F.grid_sample(score_map, kp_norm.view(1, 1, -1, 2),
+                             mode="bilinear", align_corners=True)[0, 0, 0]
+
+    # ---- SDDH (aliked.py:612-687) ----
+    fmap = feature_map[0]
+    kp_wh = (kp_norm / 2 + 0.5) * wh1
+    corner = (kp_wh.long() - K / 2 + 1).long()
+    corner[:, 0] = corner[:, 0].clamp(min=0, max=w - 1 - K)
+    corner[:, 1] = corner[:, 1].clamp(min=0, max=h - 1 - K)
+    offr = torch.arange(K)
+    gx, gy = torch.meshgrid(offr, offr, indexing="ij")
+    pgrid = torch.stack((gx, gy)).permute(2, 1, 0).unsqueeze(2)
+    pts = (pgrid + corner[None, None]).reshape(-1, 2)
+    sampled = fmap.permute(1, 2, 0)[tuple(pts.T)[::-1]]
+    patch_f = sampled.reshape(K, K, -1, fmap.shape[0]).permute(2, 3, 0, 1)
+    off = F.conv2d(patch_f, sd["desc_head.offset_conv.0.weight"],
+                   sd["desc_head.offset_conv.0.bias"])
+    off = F.conv2d(selu(off), sd["desc_head.offset_conv.2.weight"],
+                   sd["desc_head.offset_conv.2.bias"])
+    off = off.clamp(-max(h, w) / 4.0, max(h, w) / 4.0)
+    off = off[:, :, 0, 0].view(-1, 2, M).permute(0, 2, 1)  # (N, M, 2)
+    pos = kp_wh.unsqueeze(1) + off
+    pos = (2.0 * pos / wh1[None] - 1).reshape(1, -1, 1, 2)
+    feats = F.grid_sample(fmap.unsqueeze(0), pos, mode="bilinear",
+                          align_corners=True)
+    feats = feats.reshape(fmap.shape[0], -1, M, 1).permute(1, 0, 2, 3)
+    feats = selu(F.conv2d(feats, sd["desc_head.sf_conv.weight"])).squeeze(-1)
+    descs = torch.einsum("ncp,pcd->nd", feats, sd["desc_head.agg_weights"])
+    descs = F.normalize(descs, p=2.0, dim=1)
+
+    kp_out = torch.tensor([float(w), float(h)]) * (kp_norm + 1) / 2.0
+    return (feature_map, score_map, kp_out, kptscore, dispersity, descs)
+
+
+def _torch_simple_nms(scores, radius):
+    """Reference simple_nms (aliked.py:47-70)."""
+    F = torch.nn.functional
+    zeros = torch.zeros_like(scores)
+    k = radius * 2 + 1
+    max_mask = scores == F.max_pool2d(scores, k, stride=1, padding=radius)
+    for _ in range(2):
+        supp = F.max_pool2d(max_mask.float(), k, stride=1, padding=radius) > 0
+        supp_scores = torch.where(supp, zeros, scores)
+        new_max = supp_scores == F.max_pool2d(supp_scores, k, stride=1,
+                                              padding=radius)
+        max_mask = max_mask | (new_max & ~supp)
+    return torch.where(max_mask, scores, zeros)
+
+
+def test_aliked_converter_parity():
+    from gluefactory_tpu.models.extractors.aliked import torch_weight_converter
+
+    torch.manual_seed(3)
+    K, M, top_k = 3, 16, 32
+    sd = _rand_state_aliked(K=K, M=M)
+    img = torch.rand(1, 3, 64, 96)
+    with torch.no_grad():
+        fm_t, sm_t, kp_t, ksc_t, disp_t, desc_t = _torch_forward_aliked(
+            sd, img, K=K, M=M, top_k=top_k
+        )
+    params = torch_weight_converter({k: v.numpy() for k, v in sd.items()})
+    model = build_model(
+        "extractors.aliked",
+        {"compat": True, "model_name": "aliked-t16",
+         "max_num_keypoints": top_k, "detection_threshold": -1e9,
+         "dense_outputs": True},
+    )
+    data = {"image": jnp.asarray(img.numpy().transpose(0, 2, 3, 1))}
+    pred = model.apply(params, data)
+    np.testing.assert_allclose(
+        np.asarray(pred["score_map"][0]), sm_t.numpy()[0, 0], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred["descriptors_dense"][0]),
+        fm_t.numpy()[0].transpose(1, 2, 0), atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred["keypoints"][0]), kp_t.numpy(), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred["keypoint_scores"][0]), ksc_t.numpy(), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred["score_dispersity"][0]), disp_t.numpy(), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred["descriptors"][0]), desc_t.numpy(), atol=1e-3
+    )
+    # non-divisible-by-32 size exercises the replicate pad/unpad path
+    img2 = torch.rand(1, 3, 56, 72)
+    with torch.no_grad():
+        fm2, sm2 = _torch_forward_aliked(sd, img2, K=K, M=M, top_k=top_k)[:2]
+    pred2 = model.apply(
+        params, {"image": jnp.asarray(img2.numpy().transpose(0, 2, 3, 1))}
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred2["score_map"][0]), sm2.numpy()[0, 0], atol=1e-4
+    )
