@@ -99,6 +99,17 @@ class SuperPoint(BaseModel):
             "desc_margin_pos": 1.0,
             "desc_margin_neg": 0.2,
             "desc_cell_dist": 8.0,  # px distance making a cell pair positive
+            # sub-pixel localization: soft-argmax of the heatmap around each
+            # detection should land on the matched GT corner (reference
+            # geometry/kp_losses.py:soft_argmax_loss:60). radius=2 matches
+            # the inference-time ``refinement_radius`` used by the eval
+            # configs, so training optimizes the refined output directly.
+            "loc_weight": 0.0,
+            "loc_radius": 2,
+            "loc_max_dist": 4.0,
+            # ALIKE-style peakiness around GT corners (kp_losses.py:117)
+            "peaky_weight": 0.0,
+            "peaky_radius": 2,
         },
     }
     required_data_keys: ClassVar[list] = ["image"]
@@ -231,6 +242,40 @@ class SuperPoint(BaseModel):
             )
             metrics[f"kp_precision{i}"] = prec
             metrics[f"kp_recall{i}"] = rec
+
+            if float(conf.loc_weight) > 0 or float(conf.peaky_weight) > 0:
+                from ...geometry.kp_losses import peaky_loss, soft_argmax_loc_loss
+
+                # full-res pre-NMS heatmap, recomputed from the logits (cheap:
+                # softmax + reshape; avoids storing it in training outputs)
+                probs = nn.softmax(logits, axis=-1)[..., :-1]
+                heat_raw = probs.reshape(b, hc, wc, 8, 8)
+                heat_raw = heat_raw.transpose(0, 1, 3, 2, 4).reshape(
+                    b, hc * 8, wc * 8
+                )
+                # nearest GT corner per detection (index coords: strip the
+                # +0.5 pixel-center convention both sides)
+                nearest = jnp.argmin(d2, axis=2)  # (B, K)
+                gt_near = jnp.take_along_axis(kp, nearest[..., None], axis=1)
+                gt_ok = jnp.take_along_axis(valid, nearest, axis=1) & pv
+                if float(conf.loc_weight) > 0:
+                    loc = soft_argmax_loc_loss(
+                        heat_raw,
+                        pk - 0.5,
+                        gt_near - 0.5,
+                        gt_ok,
+                        radius=int(conf.loc_radius),
+                        max_dist=float(conf.loc_max_dist),
+                    )
+                    losses[f"kp_loc{i}"] = loc
+                    total = total + float(conf.loc_weight) * loc / 2.0
+                if float(conf.peaky_weight) > 0:
+                    pk_loss = peaky_loss(
+                        heat_raw, kp - 0.5, valid,
+                        radius=int(conf.peaky_radius),
+                    )
+                    losses[f"kp_peaky{i}"] = pk_loss
+                    total = total + float(conf.peaky_weight) * pk_loss / 2.0
 
         if self.conf.has_descriptor and float(conf.desc_weight) > 0:
             d0 = pred["descriptors_dense0"]

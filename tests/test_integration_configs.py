@@ -28,6 +28,12 @@ CONFIGS = [
     "gluestick_official_compat",
     "aliked_official_compat",
     "sift+superglue",
+    "disk+nn",
+    "disk+lightglue",
+    "xfeat+nn",
+    "aliked+nn",
+    "sift+nn",
+    "superpoint_open+nn",
 ]
 
 SMALL_OVERRIDES = {
@@ -66,6 +72,18 @@ SMALL_OVERRIDES = {
         "extractor": {"model_name": "aliked-t16", "max_num_keypoints": 64,
                       "detection_threshold": -1e9},
     },
+    "disk+nn": {"extractor": {"max_num_keypoints": 64}},
+    "disk+lightglue": {
+        "extractor": {"max_num_keypoints": 64},
+        "matcher": {"n_layers": 2},
+    },
+    "xfeat+nn": {"extractor": {"max_num_keypoints": 64,
+                               "detection_threshold": 0.0}},
+    "aliked+nn": {"extractor": {"model_name": "aliked-t16",
+                                "max_num_keypoints": 64,
+                                "detection_threshold": 0.0}},
+    "sift+nn": {"extractor": {"max_num_keypoints": 64}},
+    "superpoint_open+nn": {"extractor": {"max_num_keypoints": 64}},
 }
 
 

@@ -181,3 +181,45 @@ def test_engine_val_pool_disjoint(split):
     pool = ds.build_pool(split)
     n = 3 if split == "val" else 6
     assert pool["images"].shape[0] == n
+
+
+def test_superpoint_loc_peaky_losses():
+    """loc_weight/peaky_weight wire kp_losses into SuperPoint.loss: the extra
+    terms appear, are finite, contribute to total, and gradients flow."""
+    from gluefactory_tpu.models import build_model
+
+    ds = small_engine()
+    pool = ds.build_pool("train")
+    batch = jax.jit(ds.make_batch, static_argnames="split")(
+        pool, jax.random.key(1), split="train"
+    )
+    model = build_model(
+        "two_view_pipeline",
+        {
+            "extractor": {
+                "name": "extractors.superpoint",
+                "max_num_keypoints": 64,
+                "detection_threshold": 0.0,
+                "refinement_radius": 2,
+                "training_outputs": True,
+                "loss": {"loc_weight": 2.0, "peaky_weight": 0.5},
+            }
+        },
+    )
+    params = model.init(jax.random.key(0), batch, method=model.forward_and_loss)
+
+    def loss_fn(p):
+        pred = model.apply(p, batch)
+        losses, _ = model.apply(p, pred, batch, method=model.loss)
+        return jnp.mean(losses["total"]), losses
+
+    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    for k in ["kp_loc0", "kp_loc1", "kp_peaky0", "kp_peaky1"]:
+        assert k in losses and np.isfinite(np.asarray(losses[k])).all(), k
+    # loc loss is a mean pixel distance within the window -> bounded by its
+    # diagonal; peaky in [0, 1]
+    assert 0 <= float(np.mean(np.asarray(losses["kp_loc0"]))) < 6.0
+    assert 0 <= float(np.mean(np.asarray(losses["kp_peaky0"]))) <= 1.0
+    assert np.isfinite(float(total))
+    gnorm = float(jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))))
+    assert gnorm > 0 and np.isfinite(gnorm)
