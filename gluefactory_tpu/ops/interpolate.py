@@ -82,3 +82,80 @@ def grid_sample_nchw_like(fmap: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     x = (grid[..., 0] + 1.0) * (w / 2.0) - 0.5
     y = (grid[..., 1] + 1.0) * (h / 2.0) - 0.5
     return bilinear_sample(fmap, jnp.stack([x, y], axis=-1))
+
+
+# --------------------------------------------------------------------------
+# torch grid_sample parity samplers (padding_mode="zeros")
+# --------------------------------------------------------------------------
+# These replicate torch.nn.functional.grid_sample tap-for-tap — out-of-bounds
+# taps contribute zero, nearest rounds half-to-even, bicubic uses the Keys
+# cubic-convolution kernel with A=-0.75 — so official-checkpoint compat
+# graphs (e.g. XFeat, reference extractors/xfeat.py:20-49) can match the
+# torch outputs bit-closely. Points are *unnormalized* pixel coords in the
+# feature map (callers apply their own [-1,1]-grid unnormalization).
+
+
+def _gather_zeros(flat, yy, xx, h, w):
+    """Gather flat (B, H*W, C) at integer (yy, xx), 0 outside the map."""
+    inb = (xx >= 0) & (xx < w) & (yy >= 0) & (yy < h)
+    idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+    vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    return vals * inb[..., None]
+
+
+def nearest_sample_zeros(fmap: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """grid_sample mode='nearest': round-half-to-even, zeros padding.
+    fmap (B, H, W, C), points (B, N, 2) as (x, y) -> (B, N, C)."""
+    b, h, w, c = fmap.shape
+    xx = jnp.round(points[..., 0]).astype(jnp.int32)
+    yy = jnp.round(points[..., 1]).astype(jnp.int32)
+    return _gather_zeros(fmap.reshape(b, h * w, c), yy, xx, h, w)
+
+
+def bilinear_sample_zeros(fmap: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """grid_sample mode='bilinear' with padding_mode='zeros' (each of the 4
+    taps contributes zero outside the map). Same signature as above."""
+    b, h, w, c = fmap.shape
+    x, y = points[..., 0], points[..., 1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    flat = fmap.reshape(b, h * w, c)
+    out = 0.0
+    for dy, wy in ((0, 1 - fy), (1, fy)):
+        for dx, wx in ((0, 1 - fx), (1, fx)):
+            out = out + _gather_zeros(flat, y0 + dy, x0 + dx, h, w) * wy * wx
+    return out
+
+
+def _cubic_weights(t: jnp.ndarray, a: float = -0.75):
+    """Keys cubic-convolution weights for taps at offsets -1..2 given the
+    fractional position t in [0, 1) (torch's upsample/grid_sample kernel)."""
+
+    def k1(x):  # |x| <= 1
+        return (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0
+
+    def k2(x):  # 1 < |x| < 2
+        return a * x**3 - 5.0 * a * x**2 + 8.0 * a * x - 4.0 * a
+
+    return (k2(t + 1.0), k1(t), k1(1.0 - t), k2(2.0 - t))
+
+
+def bicubic_sample_zeros(fmap: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """grid_sample mode='bicubic' with padding_mode='zeros' (16 taps, Keys
+    kernel A=-0.75). Same signature as above."""
+    b, h, w, c = fmap.shape
+    x, y = points[..., 0], points[..., 1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    wxs = _cubic_weights((x - x0)[..., None])
+    wys = _cubic_weights((y - y0)[..., None])
+    flat = fmap.reshape(b, h * w, c)
+    out = 0.0
+    for dy in range(-1, 3):
+        row = 0.0
+        for dx in range(-1, 3):
+            row = row + _gather_zeros(flat, y0 + dy, x0 + dx, h, w) * wxs[dx + 1]
+        out = out + row * wys[dy + 1]
+    return out

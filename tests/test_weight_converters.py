@@ -723,3 +723,178 @@ def test_aliked_converter_parity():
     np.testing.assert_allclose(
         np.asarray(pred2["score_map"][0]), sm2.numpy()[0, 0], atol=1e-4
     )
+
+
+# --------------------------------------------------------------------------
+# XFeat (reference gluefactory/models/extractors/xfeat.py:91-431)
+# --------------------------------------------------------------------------
+
+def _rand_state_xfeat():
+    """State dict shaped/named like the official verlab xfeat.pt (BasicLayer
+    = bias-free conv + BatchNorm(affine=False); plain convs carry bias)."""
+    sd = {}
+
+    def bl(prefix, cin, cout, k=3):
+        fan = cin * k * k
+        sd[f"{prefix}.layer.0.weight"] = torch.randn(cout, cin, k, k) * (
+            1.5 / np.sqrt(fan)
+        )
+        sd[f"{prefix}.layer.1.running_mean"] = torch.randn(cout) * 0.05
+        sd[f"{prefix}.layer.1.running_var"] = torch.rand(cout) + 0.5
+
+    def conv(prefix, cin, cout, k=1):
+        sd[f"{prefix}.weight"] = torch.randn(cout, cin, k, k) / np.sqrt(
+            cin * k * k
+        )
+        sd[f"{prefix}.bias"] = torch.randn(cout) * 0.05
+
+    conv("skip1.1", 1, 24)
+    for name, specs in [
+        ("block1", [(1, 4, 3), (4, 8, 3), (8, 8, 3), (8, 24, 3)]),
+        ("block2", [(24, 24, 3), (24, 24, 3)]),
+        ("block3", [(24, 64, 3), (64, 64, 3), (64, 64, 1)]),
+        ("block4", [(64, 64, 3)] * 3),
+        ("block5", [(64, 128, 3), (128, 128, 3), (128, 128, 3),
+                    (128, 64, 1)]),
+        ("block_fusion", [(64, 64, 3), (64, 64, 3)]),
+        ("heatmap_head", [(64, 64, 1), (64, 64, 1)]),
+        ("keypoint_head", [(64, 64, 1)] * 3),
+    ]:
+        for i, (ci, co, k) in enumerate(specs):
+            bl(f"{name}.{i}", ci, co, k)
+    conv("block_fusion.2", 64, 64)
+    conv("heatmap_head.2", 64, 1)
+    conv("keypoint_head.3", 64, 65)
+    return sd
+
+
+def _torch_forward_xfeat(sd, image, top_k, thr):
+    """Reference semantics end to end (xfeat.py:183-220 backbone +
+    get_sparse_outputs:325-406), batch 1, eval-mode BN."""
+    F = torch.nn.functional
+
+    def bl(x, prefix, stride=1):
+        w = sd[f"{prefix}.layer.0.weight"]
+        x = F.conv2d(x, w, None, stride=stride, padding=(w.shape[-1] - 1) // 2)
+        x = F.batch_norm(
+            x, sd[f"{prefix}.layer.1.running_mean"],
+            sd[f"{prefix}.layer.1.running_var"], None, None, False, 0.0, 1e-5,
+        )
+        return F.relu(x)
+
+    def cv(x, prefix):
+        w = sd[f"{prefix}.weight"]
+        return F.conv2d(x, w, sd[f"{prefix}.bias"],
+                        padding=(w.shape[-1] - 1) // 2)
+
+    x = image.mean(1, keepdim=True)
+    x = F.instance_norm(x)
+    x1 = x
+    for i, s in enumerate([1, 2, 1, 2]):
+        x1 = bl(x1, f"block1.{i}", s)
+    x2 = x1 + cv(F.avg_pool2d(x, 4, 4), "skip1.1")
+    for i in range(2):
+        x2 = bl(x2, f"block2.{i}")
+    x3 = x2
+    for i, s in enumerate([2, 1, 1]):
+        x3 = bl(x3, f"block3.{i}", s)
+    x4 = x3
+    for i, s in enumerate([2, 1, 1]):
+        x4 = bl(x4, f"block4.{i}", s)
+    x5 = x4
+    for i, s in enumerate([2, 1, 1, 1]):
+        x5 = bl(x5, f"block5.{i}", s)
+    x4 = F.interpolate(x4, x3.shape[-2:], mode="bilinear")
+    x5 = F.interpolate(x5, x3.shape[-2:], mode="bilinear")
+    feats = x3 + x4 + x5
+    for i in range(2):
+        feats = bl(feats, f"block_fusion.{i}")
+    desc_map = cv(feats, "block_fusion.2")
+    rel = desc_map
+    for i in range(2):
+        rel = bl(rel, f"heatmap_head.{i}")
+    rel = torch.sigmoid(cv(rel, "heatmap_head.2"))
+    B, C, H, W = x.shape
+    u = (x.unfold(2, 8, 8).unfold(3, 8, 8)
+         .reshape(B, C, H // 8, W // 8, 64)
+         .permute(0, 1, 4, 2, 3).reshape(B, 64, H // 8, W // 8))
+    kp = u
+    for i in range(3):
+        kp = bl(kp, f"keypoint_head.{i}")
+    klog = cv(kp, "keypoint_head.3")
+
+    # ---- sparse path ----
+    scores64 = F.softmax(klog, 1)[:, :64]
+    b, _, hc, wc = scores64.shape
+    heat = (scores64.permute(0, 2, 3, 1).reshape(b, hc, wc, 8, 8)
+            .permute(0, 1, 3, 2, 4).reshape(b, 1, hc * 8, wc * 8))
+    local_max = F.max_pool2d(heat, 5, stride=1, padding=2)
+    pos = (heat == local_max) & (heat > thr)
+    pos_b = [k.nonzero()[..., 1:].flip(-1) for k in pos]
+    npad = max(len(p) for p in pos_b)
+    mk = torch.zeros(b, npad, 2, dtype=torch.long)
+    for i, p in enumerate(pos_b):
+        mk[i, : len(p)] = p
+
+    def gs(xmap, pts, mode):
+        g = 2.0 * (pts / torch.tensor([W - 1, H - 1], dtype=torch.float32)) - 1
+        g = g.unsqueeze(-2).to(xmap.dtype)
+        out = F.grid_sample(xmap, g, mode=mode, align_corners=False)
+        return out.permute(0, 2, 3, 1).squeeze(-2)
+
+    sc = (gs(heat, mk.float(), "nearest")
+          * gs(rel, mk.float(), "bilinear")).squeeze(-1)
+    sc[(mk == 0).all(-1)] = -1
+    idxs = torch.argsort(-sc)
+    mx = torch.gather(mk[..., 0], -1, idxs)[:, :top_k]
+    my = torch.gather(mk[..., 1], -1, idxs)[:, :top_k]
+    mk = torch.stack([mx, my], -1)
+    sc = torch.gather(sc, -1, idxs)[:, :top_k]
+    dmap_n = F.normalize(desc_map, dim=1)
+    feats_kp = F.normalize(gs(dmap_n, mk.float(), "bicubic"), dim=-1)
+    return desc_map, klog, rel, mk, sc, feats_kp
+
+
+def test_xfeat_converter_parity():
+    from gluefactory_tpu.models.extractors.xfeat import torch_weight_converter
+
+    torch.manual_seed(5)
+    top_k, thr = 64, 0.005
+    sd = _rand_state_xfeat()
+    img = torch.rand(1, 3, 64, 96)
+    with torch.no_grad():
+        dm_t, kl_t, rel_t, kp_t, sc_t, desc_t = _torch_forward_xfeat(
+            sd, img, top_k, thr
+        )
+    params = torch_weight_converter({k: v.numpy() for k, v in sd.items()})
+    model = build_model("extractors.xfeat", {
+        "compat": True, "max_num_keypoints": top_k,
+        "detection_threshold": thr, "dense_outputs": True,
+    })
+    data = {"image": jnp.asarray(img.numpy().transpose(0, 2, 3, 1))}
+    pred = model.apply(params, data)
+    np.testing.assert_allclose(
+        np.asarray(pred["descriptors_dense"][0]),
+        dm_t.numpy()[0].transpose(1, 2, 0), atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred["keypoint_logit_map"][0]),
+        kl_t.numpy()[0].transpose(1, 2, 0), atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred["reliability"][0]), rel_t.numpy()[0, 0], atol=1e-4
+    )
+    valid = np.asarray(pred["keypoint_valid"][0])
+    assert valid.sum() == (sc_t[0] > 0).sum()
+    np.testing.assert_allclose(
+        np.asarray(pred["keypoints"][0])[valid],
+        kp_t.numpy()[0][valid], atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred["keypoint_scores"][0])[valid],
+        sc_t.numpy()[0][valid], atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pred["descriptors"][0])[valid],
+        desc_t.numpy()[0][valid], atol=1e-3,
+    )
