@@ -112,3 +112,64 @@ def test_line_matcher_oracle():
     np.testing.assert_array_equal(
         np.asarray(pred["gt_line_matches0"][0]), np.argsort(perm)
     )
+
+
+# ---------------------------------------------------------------------------
+# KeyNet + AffNet + HardNet
+
+
+def test_keynet_hardnet_forward():
+    model = build_model("extractors.keynet_affnet_hardnet", {
+        "max_num_keypoints": 48, "pyramid_levels": 2, "up_levels": 1,
+        "detection_threshold": 0.0,
+    })
+    data = {"image": _img(2, 72, 88)}
+    params = model.init(jax.random.key(0), data)
+    pred = model.apply(params, data)
+    assert pred["keypoints"].shape == (2, 48, 2)
+    assert pred["descriptors"].shape == (2, 48, 128)
+    assert pred["lafs"].shape == (2, 48, 2, 3)
+    assert pred["scales"].shape == (2, 48)
+    v = np.asarray(pred["keypoint_valid"])
+    assert v.any()
+    d = np.asarray(pred["descriptors"])[v]
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
+    kp = np.asarray(pred["keypoints"])[v]
+    assert (kp[:, 0] >= 0).all() and (kp[:, 0] < 88).all()
+    assert (kp[:, 1] >= 0).all() and (kp[:, 1] < 72).all()
+
+
+def test_keynet_affine_and_upright_paths():
+    model = build_model("extractors.keynet_affnet_hardnet", {
+        "max_num_keypoints": 16, "pyramid_levels": 2, "up_levels": 0,
+        "affine_shape": True, "upright": True, "detection_threshold": 0.0,
+    })
+    data = {"image": _img(1, 64, 64)}
+    params = model.init(jax.random.key(1), data)
+    pred = model.apply(params, data)
+    # upright: orientation stays zero; affine shape keeps LAF det = scale^2
+    np.testing.assert_array_equal(np.asarray(pred["oris"]), 0.0)
+    a = np.asarray(pred["lafs"])[0, :, :, :2]
+    det = np.abs(a[:, 0, 0] * a[:, 1, 1] - a[:, 0, 1] * a[:, 1, 0])
+    sc = np.asarray(pred["scales"])[0]
+    np.testing.assert_allclose(det, sc**2, rtol=0.05)
+
+
+def test_dominant_orientation_equivariance():
+    from gluefactory_tpu.models.extractors.keynet_affnet_hardnet import (
+        dominant_orientation,
+    )
+
+    # a patch with a single strong gradient direction
+    p = 32
+    xs = np.linspace(0, 1, p, dtype=np.float32)
+    base = np.tile(xs[None, :], (p, 1))  # gradient along +x
+    rot90 = np.rot90(base).copy()  # gradient along +y (image coords)
+    patches = jnp.asarray(
+        np.stack([base, rot90])[..., None]
+    )
+    ang = np.asarray(dominant_orientation(patches))
+    # +x gradient -> angle ~0; rotating the patch 90deg shifts it by pi/2
+    assert abs(ang[0]) < 0.2
+    diff = (ang[1] - ang[0] + np.pi) % (2 * np.pi) - np.pi
+    assert abs(abs(diff) - np.pi / 2) < 0.2

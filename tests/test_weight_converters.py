@@ -898,3 +898,65 @@ def test_xfeat_converter_parity():
         np.asarray(pred["descriptors"][0])[valid],
         desc_t.numpy()[0][valid], atol=1e-3,
     )
+
+
+# ---------------------------------------------------------------------------
+# HardNet (KeyNetAffNetHardNet descriptor)
+
+
+def _rand_state_hardnet():
+    """Official HardNet layout: bias-free 3x3 convs + BatchNorm2d(affine=
+    False) in a 'features' Sequential, 8x8 fc conv at index 19/20."""
+    spec = [(1, 32, 3, 0), (32, 32, 3, 3), (32, 64, 3, 6), (64, 64, 3, 9),
+            (64, 128, 3, 12), (128, 128, 3, 15), (128, 128, 8, 19)]
+    sd = {}
+    for cin, cout, k, i in spec:
+        sd[f"features.{i}.weight"] = torch.randn(cout, cin, k, k) * 0.15
+        sd[f"features.{i + 1}.running_mean"] = torch.randn(cout) * 0.05
+        sd[f"features.{i + 1}.running_var"] = torch.rand(cout) * 0.5 + 0.5
+    return sd
+
+
+def _torch_forward_hardnet(sd, patches):
+    import torch.nn.functional as F
+
+    n = patches.shape[0]
+    flat = patches.reshape(n, -1)
+    mu = flat.mean(dim=1)
+    sdv = flat.std(dim=1) + 1e-7
+    x = (patches - mu.view(-1, 1, 1, 1)) / sdv.view(-1, 1, 1, 1)
+    strides = {6: 2, 12: 2}
+    for i in (0, 3, 6, 9, 12, 15):
+        w = sd[f"features.{i}.weight"]
+        x = F.conv2d(x, w, stride=strides.get(i, 1), padding=1)
+        x = F.batch_norm(
+            x, sd[f"features.{i + 1}.running_mean"],
+            sd[f"features.{i + 1}.running_var"], None, None, False, 0.0, 1e-5,
+        )
+        x = F.relu(x)
+    x = F.conv2d(x, sd["features.19.weight"])
+    x = F.batch_norm(
+        x, sd["features.20.running_mean"], sd["features.20.running_var"],
+        None, None, False, 0.0, 1e-5,
+    )
+    d = x.reshape(n, 128)
+    return F.normalize(d, dim=1)
+
+
+def test_hardnet_converter_parity():
+    from gluefactory_tpu.models.extractors.keynet_affnet_hardnet import (
+        HardNet, hardnet_weight_converter,
+    )
+
+    torch.manual_seed(7)
+    sd = _rand_state_hardnet()
+    patches = torch.rand(6, 1, 32, 32)
+    with torch.no_grad():
+        d_t = _torch_forward_hardnet(sd, patches)
+    params = hardnet_weight_converter({k: v.numpy() for k, v in sd.items()})
+    net = HardNet(norm="none")
+    d_j = net.apply(
+        {"params": params["params"]["hardnet"]},
+        jnp.asarray(patches.numpy().transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(d_j), d_t.numpy(), atol=1e-4)
