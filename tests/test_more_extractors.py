@@ -13,9 +13,10 @@ def _img(b=1, h=64, w=64):
 
 def test_disk_forward():
     model = build_model("extractors.disk", {
-        "max_num_keypoints": 32, "channels": [8, 16, 32, 32], "descriptor_dim": 32,
+        "max_num_keypoints": 32, "down": [8, 16, 32], "up": [16],
+        "descriptor_dim": 32,
     })
-    data = {"image": _img()}
+    data = {"image": _img(1, 60, 68)}  # pad_if_not_divisible path
     params = model.init(jax.random.key(0), data)
     pred = model.apply(params, data)
     assert pred["keypoints"].shape == (1, 32, 2)
@@ -65,7 +66,7 @@ def test_mixed_extractor():
             "channels": [8, 8, 16, 16, 32, 32, 32, 32], "head_channels": 16,
         },
         "descriptor": {
-            "name": "extractors.disk", "channels": [8, 16, 32, 32],
+            "name": "extractors.disk", "down": [8, 16, 32], "up": [16],
             "descriptor_dim": 16, "dense_outputs": True, "max_num_keypoints": 4,
         },
     })

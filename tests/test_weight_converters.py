@@ -960,3 +960,99 @@ def test_hardnet_converter_parity():
         jnp.asarray(patches.numpy().transpose(0, 2, 3, 1)),
     )
     np.testing.assert_allclose(np.asarray(d_j), d_t.numpy(), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# DISK (kornia thin U-Net)
+
+
+def _rand_state_disk(down, up, desc_dim, k=5):
+    """kornia DISK layout: path_down.<i> / path_up.<i> blocks; inside each,
+    a 5x5 conv (+bias) and, for every non-stem block, a per-channel PReLU.
+    InstanceNorm(affine=False) carries no params."""
+    sd = {}
+    chans_in = [3] + list(down[:-1])
+    for i, (cin, cout) in enumerate(zip(chans_in, down)):
+        if i > 0:
+            sd[f"unet.path_down.{i}.1.0.weight"] = torch.rand(cin) * 0.4
+        sd[f"unet.path_down.{i}.1.2.weight"] = torch.randn(cout, cin, k, k) * 0.1
+        sd[f"unet.path_down.{i}.1.2.bias"] = torch.randn(cout) * 0.05
+    ups = list(up) + [desc_dim + 1]
+    bot = down[-1]
+    for i, (hor, u) in enumerate(zip(down[-2::-1], ups)):
+        cin = bot + hor
+        sd[f"unet.path_up.{i}.conv.0.weight"] = torch.rand(cin) * 0.4
+        sd[f"unet.path_up.{i}.conv.2.weight"] = torch.randn(u, cin, k, k) * 0.1
+        sd[f"unet.path_up.{i}.conv.2.bias"] = torch.randn(u) * 0.05
+        bot = u
+    return sd
+
+
+def _torch_forward_disk(sd, image, down, up, desc_dim, top_k, window=5):
+    import torch.nn.functional as F
+
+    def prelu(x, w):
+        return F.prelu(x, w)
+
+    def inorm(x):
+        return F.instance_norm(x, eps=1e-5)
+
+    x = image
+    skips = []
+    for i in range(len(down)):
+        if i > 0:
+            x = F.avg_pool2d(x, 2)
+            x = prelu(x, sd[f"unet.path_down.{i}.1.0.weight"])
+            x = inorm(x)
+        x = F.conv2d(x, sd[f"unet.path_down.{i}.1.2.weight"],
+                     sd[f"unet.path_down.{i}.1.2.bias"], padding=2)
+        skips.append(x)
+    for i, skip in enumerate(skips[-2::-1]):
+        x = F.interpolate(x, scale_factor=2, mode="bilinear",
+                          align_corners=False)
+        x = torch.cat([x, skip], 1)
+        x = prelu(x, sd[f"unet.path_up.{i}.conv.0.weight"])
+        x = inorm(x)
+        x = F.conv2d(x, sd[f"unet.path_up.{i}.conv.2.weight"],
+                     sd[f"unet.path_up.{i}.conv.2.bias"], padding=2)
+    desc = x[:, :desc_dim]
+    heat = x[:, desc_dim]
+    # kornia heatmap_to_keypoints: exact-equality window NMS, integer coords
+    nms = F.max_pool2d(heat.unsqueeze(1), window, 1, window // 2).squeeze(1)
+    mask = (heat == nms) & (heat > 0.0)
+    b, h, w = heat.shape
+    sc = torch.where(mask, heat, torch.tensor(-torch.inf))
+    top, idx = sc.reshape(b, -1).topk(top_k)
+    ky, kx = idx // w, idx % w
+    d = torch.stack([desc[i, :, ky[i], kx[i]].T for i in range(b)])
+    d = F.normalize(d, dim=-1)
+    return torch.stack([kx, ky], -1).float(), top, d
+
+
+def test_disk_converter_parity():
+    from gluefactory_tpu.models.extractors.disk import torch_weight_converter
+
+    torch.manual_seed(11)
+    down, up, desc_dim, top_k = [8, 12, 16], [12], 24, 32
+    sd = _rand_state_disk(down, up, desc_dim)
+    img = torch.rand(2, 3, 64, 64)
+    with torch.no_grad():
+        kp_t, sc_t, d_t = _torch_forward_disk(sd, img, down, up, desc_dim,
+                                              top_k)
+    params = torch_weight_converter({k: v.numpy() for k, v in sd.items()})
+    model = build_model("extractors.disk", {
+        "down": down, "up": up, "descriptor_dim": desc_dim,
+        "max_num_keypoints": top_k, "compat": True,
+    })
+    data = {"image": jnp.asarray(img.numpy().transpose(0, 2, 3, 1))}
+    pred = model.apply(params, data)
+    valid = np.asarray(pred["keypoint_valid"])
+    vt = torch.isfinite(sc_t).numpy()
+    np.testing.assert_array_equal(valid, vt)
+    np.testing.assert_allclose(
+        np.asarray(pred["keypoints"])[valid], kp_t.numpy()[vt], atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(pred["keypoint_scores"])[valid], sc_t.numpy()[vt],
+        atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(pred["descriptors"])[valid], d_t.numpy()[vt], atol=1e-4)
