@@ -34,6 +34,8 @@ CONFIGS = [
     "aliked+nn",
     "sift+nn",
     "superpoint_open+nn",
+    "keynet+nn",
+    "loftr_homography",
 ]
 
 SMALL_OVERRIDES = {
@@ -84,6 +86,12 @@ SMALL_OVERRIDES = {
                                 "detection_threshold": 0.0}},
     "sift+nn": {"extractor": {"max_num_keypoints": 64}},
     "superpoint_open+nn": {"extractor": {"max_num_keypoints": 64}},
+    "keynet+nn": {"extractor": {"max_num_keypoints": 48, "pyramid_levels": 2}},
+    "loftr_homography": {
+        "initial_dim": 16, "block_dims": [16, 24, 32], "fine_dim": 16,
+        "coarse_layers": 1, "fine_layers": 1, "heads": 2, "max_matches": 64,
+        "match_threshold": 0.01,
+    },
 }
 
 

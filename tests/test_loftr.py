@@ -1,0 +1,88 @@
+"""LoFTR-class detector-free matcher: contract, training, and overfit tests
+(reference wrapper: gluefactory/models/matchers/kornia_loftr.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gluefactory_tpu.models import build_model
+
+rng = np.random.default_rng(7)
+
+TINY = {
+    "initial_dim": 16,
+    "block_dims": [16, 24, 32],
+    "fine_dim": 16,
+    "coarse_layers": 1,
+    "fine_layers": 1,
+    "heads": 2,
+    "max_matches": 64,
+    "match_threshold": 0.01,
+}
+
+
+def _pair(h=64, w=64):
+    img = jnp.asarray(rng.uniform(0, 1, (1, h, w, 1)), jnp.float32)
+    return {
+        "view0": {"image": img},
+        "view1": {"image": img},
+        "H_0to1": jnp.eye(3, dtype=jnp.float32)[None],
+    }
+
+
+def test_loftr_forward_contract():
+    model = build_model("matchers.loftr", TINY)
+    data = _pair()
+    params = model.init(jax.random.key(0), data)
+    pred = model.apply(params, data)
+    k = TINY["max_matches"]
+    assert pred["keypoints0"].shape == (1, k, 2)
+    assert pred["keypoints1"].shape == (1, k, 2)
+    assert pred["matches0"].shape == (1, k)
+    v = np.asarray(pred["keypoint_valid0"][0])
+    m = np.asarray(pred["matches0"][0])
+    # identity-matches contract (reference kornia_loftr.py:40-52)
+    np.testing.assert_array_equal(m[v], np.arange(k)[v])
+    assert (m[~v] == -1).all()
+    sc = np.asarray(pred["matching_scores0"][0])
+    assert (sc[v] > 0).all() and (sc[~v] == 0).all()
+
+
+def test_loftr_overfit_identity():
+    """A few gradient steps on an identical pair must pull the coarse
+    confidence onto the diagonal; refined kp1 converge to kp0."""
+    model = build_model("matchers.loftr", TINY)
+    data = _pair()
+    params = model.init(jax.random.key(1), data)
+    opt = optax.adam(3e-4)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, data):
+        def loss_fn(p):
+            pred = model.apply(p, data)
+            losses, _ = model.apply(p, pred, data, method=model.loss)
+            return jnp.mean(losses["total"]), losses
+
+        (val, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        upd, state = opt.update(grads, state)
+        return optax.apply_updates(params, upd), state, val
+
+    first = None
+    for i in range(30):
+        params, state, val = step(params, state, data)
+        if first is None:
+            first = float(val)
+    assert np.isfinite(float(val))
+    assert float(val) < first, (first, float(val))
+
+    pred = model.apply(params, data)
+    v = np.asarray(pred["keypoint_valid0"][0])
+    assert v.sum() > 0
+    kp0 = np.asarray(pred["keypoints0"][0])[v]
+    kp1 = np.asarray(pred["keypoints1"][0])[v]
+    # same image + identity H: matched cells must coincide coarse-exactly
+    err = np.linalg.norm(kp0 - kp1, axis=-1)
+    assert np.median(err) < 8.0, np.median(err)
