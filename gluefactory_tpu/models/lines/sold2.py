@@ -1,0 +1,247 @@
+"""SOLD2-class line detector-descriptor
+(reference: gluefactory/models/lines/sold2.py:7-33, a kornia.feature.SOLD2
+wrapper that only returns ``lines``; the network, trained on synthetic +
+real data, lives in the kornia wheel).
+
+TPU-native re-implementation of the SOLD2 recipe, trainable in-repo (the
+reference wrapper's ``loss`` raises NotImplementedError):
+
+- **Backbone**: conv encoder to 1/4 with residual blocks (stand-in for
+  SOLD2's stacked hourglass — same contract: shared features feeding three
+  heads).
+- **Junction head**: SuperPoint-style cell softmax with dustbin over 8x8
+  cells of the full-res grid, decoded to a junction score map.
+- **Heatmap head**: full-resolution line-probability map (pixel-shuffled
+  from 1/4, sigmoid).
+- **Descriptor head**: semi-dense 128-d map at 1/4 resolution, L2
+  normalized — consumed by the Wunsch line matcher
+  (``matchers.wunsch_line_matcher``).
+- **Line extraction**: static-shape candidate-pair search — top-K
+  junctions, all pairs, fixed-count heatmap samples along each segment,
+  accepted by inlier-ratio + mean-score tests (SOLD2's candidate sampling
+  without the dynamic refinement loop; same spirit as the POLD2
+  extractor's DF filtering).
+- **Loss** (absent in the reference): junction cell CE against GT line
+  endpoints + weighted BCE on the heatmap against GT segments rasterized
+  on device (fixed samples per segment scattered into the image grid).
+
+Output contract is a superset of the reference's (:30): ``lines``
+(B, L, 2, 2) xy endpoints, plus validity, scores, junctions, heatmap, and
+dense descriptors.
+"""
+
+from __future__ import annotations
+
+from typing import ClassVar
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.nms import select_top_k_keypoints, simple_nms
+from ..base_model import BaseModel
+
+
+class ResBlock(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.features, (3, 3), (self.stride,) * 2,
+                    padding=[(1, 1), (1, 1)], name="c1")(x)
+        y = nn.GroupNorm(num_groups=4, name="n1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    name="c2")(y)
+        y = nn.GroupNorm(num_groups=4, name="n2")(y)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1), (self.stride,) * 2,
+                        name="proj")(x)
+        return nn.relu(x + y)
+
+
+def pair_indices(n: int) -> np.ndarray:
+    iu = np.triu_indices(n, k=1)
+    return np.stack(iu, axis=-1).astype(np.int32)
+
+
+class SOLD2(BaseModel):
+    default_conf: ClassVar[dict] = {
+        "channels": [32, 64, 128],
+        "descriptor_dim": 128,
+        "grid_size": 8,  # junction cell size (SOLD2 uses 8)
+        "max_num_junctions": 250,
+        "junction_threshold": 0.008,
+        "nms_radius": 4,
+        "max_num_lines": 512,
+        "num_samples": 32,  # heatmap samples per candidate segment
+        "heatmap_threshold": 0.5,  # per-sample inlier test
+        "inlier_ratio": 0.85,
+        "mean_score_threshold": 0.6,
+        "min_length": 16.0,
+        "sparse_outputs": True,
+        "loss": {"heatmap_weight": 1.0, "junction_weight": 1.0,
+                 "pos_weight": 100.0},
+    }
+    required_data_keys: ClassVar[list] = ["image"]
+
+    def setup(self):
+        c1, c2, c3 = self.conf.channels
+        g = int(self.conf.grid_size)
+        self.stem = ResBlock(c1, name="stem")
+        self.down1 = ResBlock(c2, stride=2, name="down1")
+        self.down2 = ResBlock(c3, stride=2, name="down2")
+        self.trunk = ResBlock(c3, name="trunk")
+        # junction head: one extra stride to the g-cell grid, dustbin softmax
+        self.junc_down = ResBlock(c3, stride=g // 4, name="junc_down")
+        self.junc_out = nn.Conv(g * g + 1, (1, 1), name="junc_out")
+        # heatmap head: pixel-shuffle 1/4 -> full res single channel
+        self.heat_out = nn.Conv(16, (3, 3), padding=[(1, 1), (1, 1)],
+                                name="heat_out")
+        self.desc_out = nn.Conv(int(self.conf.descriptor_dim), (1, 1),
+                                name="desc_out")
+
+    def _heads(self, image: jnp.ndarray):
+        x = image
+        if x.shape[-1] != 1:
+            x = (x[..., :3] @ jnp.asarray([0.299, 0.587, 0.114]))[..., None]
+        b, h, w, _ = x.shape
+        f = self.trunk(self.down2(self.down1(self.stem(x))))  # 1/4
+
+        g = int(self.conf.grid_size)
+        jl = self.junc_out(self.junc_down(f))  # (B, H/g, W/g, g*g+1)
+        jp = jax.nn.softmax(jl, axis=-1)[..., :-1]
+        hc, wc = jl.shape[1:3]
+        junc_map = jp.reshape(b, hc, wc, g, g).transpose(0, 1, 3, 2, 4)
+        junc_map = junc_map.reshape(b, hc * g, wc * g)[:, :h, :w]
+
+        hl = self.heat_out(f)  # (B, H/4, W/4, 16)
+        hh, ww = hl.shape[1:3]
+        heat = hl.reshape(b, hh, ww, 4, 4).transpose(0, 1, 3, 2, 4)
+        heat = jax.nn.sigmoid(heat.reshape(b, hh * 4, ww * 4))[:, :h, :w]
+
+        desc = self.desc_out(f)
+        desc = desc / jnp.maximum(
+            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-8)
+        return junc_map, jl, heat, desc
+
+    def _extract_lines(self, junc_map, heat, image_size):
+        conf = self.conf
+        b = junc_map.shape[0]
+        k = int(conf.max_num_junctions)
+        nmsed = simple_nms(junc_map, int(conf.nms_radius))
+        junc, jsc, jvalid = select_top_k_keypoints(
+            nmsed, k=k, threshold=float(conf.junction_threshold),
+            border=2, image_size=image_size,
+        )
+        pairs = jnp.asarray(pair_indices(k))  # (C, 2)
+        p0 = junc[:, pairs[:, 0]]
+        p1 = junc[:, pairs[:, 1]]
+        pvalid = jvalid[:, pairs[:, 0]] & jvalid[:, pairs[:, 1]]
+        length = jnp.linalg.norm(p1 - p0, axis=-1)
+        pvalid = pvalid & (length >= float(conf.min_length))
+
+        s = int(conf.num_samples)
+        t = jnp.linspace(0.0, 1.0, s)[None, None, :, None]
+        pts = p0[:, :, None] + (p1 - p0)[:, :, None] * t  # (B, C, S, 2)
+        hgt, wdt = heat.shape[1:3]
+        xi = jnp.clip(jnp.round(pts[..., 0]).astype(jnp.int32), 0, wdt - 1)
+        yi = jnp.clip(jnp.round(pts[..., 1]).astype(jnp.int32), 0, hgt - 1)
+        flat = heat.reshape(b, hgt * wdt)
+        vals = jax.vmap(lambda f, i: f[i])(
+            flat, (yi * wdt + xi).reshape(b, -1)
+        ).reshape(pts.shape[:3])
+        inlier = jnp.mean(
+            (vals > float(conf.heatmap_threshold)).astype(jnp.float32), -1)
+        mean_sc = jnp.mean(vals, axis=-1)
+        ok = pvalid & (inlier >= float(conf.inlier_ratio)) & (
+            mean_sc >= float(conf.mean_score_threshold))
+        score = jnp.where(ok, mean_sc * inlier, 0.0)
+
+        L = int(conf.max_num_lines)
+        top, idx = jax.lax.top_k(score, L)
+        take = jax.vmap(lambda a, i: a[i])
+        lines = jnp.stack([take(p0, idx), take(p1, idx)], axis=2)
+        lvalid = top > 0.0
+        lines = jnp.where(lvalid[..., None, None], lines, 0.0)
+        return {
+            "lines": lines, "line_scores": jnp.where(lvalid, top, 0.0),
+            "valid_lines": lvalid, "junctions": junc,
+            "junction_scores": jsc, "junction_valid": jvalid,
+        }
+
+    def _forward(self, data: dict) -> dict:
+        junc_map, junc_logits, heat, desc = self._heads(data["image"])
+        pred = {
+            "junction_map": junc_map, "junction_logits": junc_logits,
+            "line_heatmap": heat, "descriptors_dense": desc,
+        }
+        if self.conf.sparse_outputs:
+            pred.update(self._extract_lines(
+                junc_map, heat, data.get("image_size")))
+        return pred
+
+    def loss(self, pred, data):
+        """Junction cell-CE against GT segment endpoints + weighted BCE on
+        the line heatmap against GT segments rasterized on device."""
+        conf = self.conf.loss
+        g = int(self.conf.grid_size)
+        jl = pred["junction_logits"]  # (B, hc, wc, g*g+1)
+        b, hc, wc, _ = jl.shape
+        heat = pred["line_heatmap"]
+        h, w = heat.shape[1:3]
+
+        lines = data["lines"]  # (B, L, 2, 2) xy
+        lvalid = data.get(
+            "valid_lines", jnp.ones(lines.shape[:2], bool))
+
+        # --- junction CE: endpoints -> cell + in-cell index (dustbin else)
+        ends = lines.reshape(b, -1, 2)  # (B, 2L, 2)
+        evalid = jnp.repeat(lvalid, 2, axis=1)
+        ex = jnp.clip(jnp.round(ends[..., 0]).astype(jnp.int32), 0, w - 1)
+        ey = jnp.clip(jnp.round(ends[..., 1]).astype(jnp.int32), 0, h - 1)
+        cell = (ey // g) * wc + (ex // g)
+        inner = (ey % g) * g + (ex % g)
+        n_cells = hc * wc
+        tgt = jnp.full((b, n_cells), g * g)  # dustbin default
+        bidx = jnp.arange(b)[:, None]
+        # later writes win; invalid endpoints write to a scratch slot
+        cell = jnp.where(evalid, cell, 0)
+        tgt = tgt.at[bidx, cell].set(
+            jnp.where(evalid, inner, g * g), mode="drop")
+        logp = jax.nn.log_softmax(jl.reshape(b, n_cells, -1), axis=-1)
+        junc_ce = -jnp.take_along_axis(
+            logp, tgt[..., None], axis=-1)[..., 0].mean(axis=1)
+
+        # --- heatmap BCE: rasterize GT segments by fixed-count sampling
+        s = 16
+        t = jnp.linspace(0.0, 1.0, s)[None, None, :, None]
+        pts = lines[:, :, None, 0] + (
+            lines[:, :, 1] - lines[:, :, 0])[:, :, None] * t
+        xi = jnp.clip(jnp.round(pts[..., 0]).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(pts[..., 1]).astype(jnp.int32), 0, h - 1)
+        flat_idx = (yi * w + xi).reshape(b, -1)
+        mask_on = jnp.zeros((b, h * w))
+        vals = jnp.broadcast_to(
+            lvalid[:, :, None], pts.shape[:3]).reshape(b, -1)
+        mask_on = mask_on.at[bidx, flat_idx].max(
+            vals.astype(jnp.float32), mode="drop")
+        hflat = jnp.clip(heat.reshape(b, h * w), 1e-6, 1 - 1e-6)
+        pw = float(conf.pos_weight)
+        bce = -(pw * mask_on * jnp.log(hflat)
+                + (1.0 - mask_on) * jnp.log(1.0 - hflat))
+        heat_bce = bce.mean(axis=1) / (1.0 + pw) * 2.0
+
+        total = (float(conf.junction_weight) * junc_ce
+                 + float(conf.heatmap_weight) * heat_bce)
+        metrics = {}
+        if "valid_lines" in pred:
+            metrics["num_lines"] = pred["valid_lines"].sum(-1).astype(
+                jnp.float32)
+        return {"total": total, "junction_ce": junc_ce,
+                "heatmap_bce": heat_bce}, metrics
+
+
+__main_model__ = SOLD2

@@ -36,6 +36,7 @@ CONFIGS = [
     "superpoint_open+nn",
     "keynet+nn",
     "loftr_homography",
+    "sold2+wunsch",
 ]
 
 SMALL_OVERRIDES = {
@@ -87,6 +88,12 @@ SMALL_OVERRIDES = {
     "sift+nn": {"extractor": {"max_num_keypoints": 64}},
     "superpoint_open+nn": {"extractor": {"max_num_keypoints": 64}},
     "keynet+nn": {"extractor": {"max_num_keypoints": 48, "pyramid_levels": 2}},
+    "sold2+wunsch": {"extractor": {
+        "channels": [8, 16, 24], "descriptor_dim": 16,
+        "max_num_junctions": 32, "max_num_lines": 64,
+        "junction_threshold": 0.0, "mean_score_threshold": 0.0,
+        "heatmap_threshold": 0.0, "inlier_ratio": 0.0, "min_length": 4.0,
+    }},
     "loftr_homography": {
         "initial_dim": 16, "block_dims": [16, 24, 32], "fine_dim": 16,
         "coarse_layers": 1, "fine_layers": 1, "heads": 2, "max_matches": 64,
@@ -112,13 +119,18 @@ def test_model_card_runs(name):
     }
     params = model.init(jax.random.key(0), data)
     pred = model.apply(params, data)
-    # prediction contract
-    for key in ("keypoints0", "keypoints1", "matches0", "matching_scores0"):
-        assert key in pred, (name, sorted(pred))
-    n0 = pred["keypoints0"].shape[1]
-    assert pred["matches0"].shape == (1, n0)
-    m0 = np.asarray(pred["matches0"][0])
-    assert ((m0 >= -1) & (m0 < pred["keypoints1"].shape[1])).all()
-    assert np.isfinite(np.asarray(pred["keypoints0"])).all()
+    # prediction contract (point pipelines; line-only cards skip to lines)
+    if "matches0" in pred:
+        for key in ("keypoints0", "keypoints1", "matching_scores0"):
+            assert key in pred, (name, sorted(pred))
+        n0 = pred["keypoints0"].shape[1]
+        assert pred["matches0"].shape == (1, n0)
+        m0 = np.asarray(pred["matches0"][0])
+        assert ((m0 >= -1) & (m0 < pred["keypoints1"].shape[1])).all()
+        assert np.isfinite(np.asarray(pred["keypoints0"])).all()
+    else:
+        assert "line_matches0" in pred, (name, sorted(pred))
     if "lines0" in pred:
         assert pred["line_matches0"].shape[1] == pred["lines0"].shape[1]
+        lm0 = np.asarray(pred["line_matches0"][0])
+        assert ((lm0 >= -1) & (lm0 < pred["lines1"].shape[1])).all()
