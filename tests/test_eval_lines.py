@@ -211,3 +211,44 @@ def test_area_distance_ranks_sanely():
     d_close = float(segment_distance_matrix(base, close, kind="area")[0, 0, 0])
     d_far = float(segment_distance_matrix(base, far, kind="area")[0, 0, 0])
     assert d_close < d_far
+
+
+def test_wireframe_pipeline(tmp_path):
+    from gluefactory_tpu.eval.wireframe import WireframePipeline
+
+    # fake wireframe npz: white canvas with drawn GT segments
+    root = tmp_path / "wireframe" / "test"
+    root.mkdir(parents=True)
+    rng_l = np.random.default_rng(5)
+    for i in range(2):
+        img = np.full((240, 320, 3), 255, np.uint8)
+        junctions, lines = [], []
+        for s in range(6):
+            p0 = rng_l.uniform((20, 20), (300, 220)).astype(np.float32)
+            ang = rng_l.uniform(0, np.pi)
+            ln = rng_l.uniform(60, 120)
+            p1 = p0 + ln * np.array([np.cos(ang), np.sin(ang)], np.float32)
+            p1 = np.clip(p1, 5, (315, 235)).astype(np.float32)
+            cv2.line(img, tuple(p0.astype(int)), tuple(p1.astype(int)),
+                     (0, 0, 0), 2)
+            junctions += [p0, p1]
+            lines.append([2 * s, 2 * s + 1])
+        np.savez(root / f"im{i}.npz", image=img,
+                 junctions=np.asarray(junctions),
+                 lines=np.asarray(lines, np.int64))
+    conf = {
+        "data": {
+            "data_dir": str(tmp_path / "wireframe"),
+            "preprocessing": {"resize": 240, "side": "long",
+                              "square_pad": True},
+            "max_junctions": 32, "max_lines": 32,
+        },
+        "model": {"name": "lines.lsd", "max_num_lines": 64},
+    }
+    pipeline = WireframePipeline(conf)
+    summaries, results = pipeline.run(tmp_path / "run_wireframe")
+    assert summaries["mnum_lines"] > 3
+    assert summaries["mnum_gt_lines"] == 6.0
+    # LSD on clean renders must recover most GT segments
+    assert summaries["morth_recall@5.0px"] > 0.5, summaries
+    assert "mstruct_rep@5.0px" in summaries
