@@ -12,12 +12,12 @@ rng = np.random.default_rng(23)
 BACKBONE = {
     "name": "extractors.joint_point_line_extractor",
     "channels": [8, 16, 24, 32], "dim": 32,
-    "max_num_keypoints": 48, "detection_threshold": 0.0,
+    "max_num_keypoints": 24, "detection_threshold": 0.0,
     "use_angle_field": True,
 }
 
 
-def _data(h=64, w=64):
+def _data(h=56, w=56):
     def view():
         return {
             "image": jnp.asarray(rng.uniform(0, 1, (1, h, w, 3)), jnp.float32),
@@ -53,8 +53,8 @@ def test_pold2_forward_and_caps_loss():
     data = _data()
     params = model.init(jax.random.key(0), data)
     pred = model.apply(params, data)
-    assert pred["descriptors0"].shape == (1, 48, 16)
-    assert pred["descriptors_dense0"].shape == (1, 64, 64, 16)
+    assert pred["descriptors0"].shape == (1, 24, 16)
+    assert pred["descriptors_dense0"].shape == (1, 56, 56, 16)
     assert "distance_field0" in pred and "angle_field0" in pred
 
     def loss_fn(p):
