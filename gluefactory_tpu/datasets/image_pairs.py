@@ -61,7 +61,12 @@ class ImagePairsDataset(BaseDataset):
             "view0": view0,
             "view1": view1,
             "idx": np.int32(i),
-            "name": f"{Path(name0).stem}_{Path(name1).stem}",
+            # full relative paths, sanitized: stems alone collide when
+            # different scene dirs reuse file names (e.g. scene*/0.png)
+            "name": "_".join(
+                str(Path(n).with_suffix("")).replace("/", "-")
+                for n in (name0, name1)
+            ),
         }
         rest = pair[2:]
         if len(rest) == 9:
