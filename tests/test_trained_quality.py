@@ -150,3 +150,68 @@ def test_trained_superpoint_loc_finetune_quality(tmp_path):
     assert np.median(stats["prec1"]) > 0.12, stats
     assert np.median(stats["prec3"]) > 0.4, stats
     assert np.median(stats["h_err"]) < 3.0, stats
+
+
+@pytest.mark.skipif(
+    not (SP0B_BLOB.exists() and LG_BLOB.exists()),
+    reason="needs committed SP0b + LG weights")
+def test_trained_relative_pose_quality(tmp_path):
+    """End-to-end relative pose on freshly rendered piecewise-planar scenes
+    (scripts/generate_pose_eval_set): matches -> 5-point RANSAC -> GN
+    refinement must keep the median pose error in the benchmark class
+    (committed run: pose AUC@5/10/20deg 30.3/48.0/66.3)."""
+    from gluefactory_tpu.geometry.epipolar import relative_pose_error
+    from gluefactory_tpu.geometry.wrappers import Camera, Pose
+    from gluefactory_tpu.robust_estimators import load_estimator
+    from gluefactory_tpu.scripts.generate_pose_eval_set import (
+        render_pose_scene,
+    )
+
+    lines = []
+    for s in range(2):
+        lines += render_pose_scene(
+            tmp_path / f"scene{s}", np.random.default_rng((777, s)),
+            n_pairs=2)
+
+    model, params = build_pipeline(
+        with_lg=True, sp_blob=SP0B_BLOB, refinement_radius=2)
+    apply_fn = jax.jit(model.apply)
+    est = load_estimator("relative_pose", "ransac")(
+        {"ransac_th": 2.0, "num_hypotheses": 512, "lo_iters": 4})
+
+    errs = []
+    for ln in lines:
+        parts = ln.split()
+        img0 = read_image(tmp_path / parts[0]).astype(np.float32) / 255.0
+        img1 = read_image(tmp_path / parts[1]).astype(np.float32) / 255.0
+        K = np.array([float(x) for x in parts[2:11]]).reshape(3, 3)
+        T = np.array([float(x) for x in parts[20:36]]).reshape(4, 4)
+        # pad to the pipeline's 480x360 static shape? render is 640x480 ->
+        # run at native size (build a fresh init for this shape)
+        data = {
+            "view0": {"image": jnp.asarray(img0)[None],
+                      "image_size": jnp.asarray(
+                          [[img0.shape[1], img0.shape[0]]], jnp.float32)},
+            "view1": {"image": jnp.asarray(img1)[None],
+                      "image_size": jnp.asarray(
+                          [[img1.shape[1], img1.shape[0]]], jnp.float32)},
+        }
+        pred = apply_fn(params, data)
+        m0 = np.asarray(pred["matches0"][0])
+        kp0 = np.asarray(pred["keypoints0"][0])
+        kp1 = np.asarray(pred["keypoints1"][0])
+        valid = m0 > -1
+        cam = Camera.from_calibration_matrix(
+            jnp.asarray(K, jnp.float32),
+            size=jnp.asarray([img0.shape[1], img0.shape[0]], jnp.float32))
+        out = est({
+            "m_kpts0": jnp.asarray(kp0[valid]),
+            "m_kpts1": jnp.asarray(kp1[m0[valid]]),
+            "camera0": cam, "camera1": cam,
+        })
+        est_pose = out["M_0to1"]
+        t_err, r_err = relative_pose_error(
+            Pose.from_4x4mat(jnp.asarray(T, jnp.float32)),
+            est_pose.R, est_pose.t)
+        errs.append(max(float(t_err), float(r_err)))
+    assert np.median(errs) < 15.0, errs
