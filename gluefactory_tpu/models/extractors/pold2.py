@@ -148,17 +148,32 @@ class POLD2(BaseModel):
                     valid0=valid0)
             losses["desc"] = desc
 
+        # which tasks are actually supervised is static (key presence)
+        v0 = data.get("view0", {})
+        active = [
+            "gt_heatmap" in v0,
+            "gt_distance_field" in v0,
+            bool(self.conf.backbone.get("use_angle_field", False))
+            and "gt_angle_field" in v0,
+            bool(self.conf.has_descriptor),
+        ]
         terms = [losses["kp"], losses["df"], losses["af"], desc]
         if lw.type == "dynamic":
+            # Kendall uncertainty weighting over the ACTIVE terms only — an
+            # unsupervised term (constant 0) would otherwise drive its
+            # log-variance to -inf and the total with it
             total = zeros
-            for i, t in enumerate(terms):
-                total = total + jnp.exp(-self.log_vars[i]) * t \
-                    + self.log_vars[i]
+            for i, (t, on) in enumerate(zip(terms, active)):
+                if on:
+                    total = total + jnp.exp(-self.log_vars[i]) * t \
+                        + self.log_vars[i]
             losses["log_vars_sum"] = jnp.broadcast_to(
                 self.log_vars.sum(), (b,))
         else:
             w = [float(lw.kp), float(lw.df), float(lw.af), float(lw.desc)]
-            total = sum(wi * t for wi, t in zip(w, terms))
+            total = sum(
+                wi * t for wi, t, on in zip(w, terms, active) if on)
+            total = total + zeros
         losses["total"] = total
         return losses, {}
 
