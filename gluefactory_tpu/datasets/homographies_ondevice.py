@@ -336,11 +336,14 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
         **OnDeviceHomographyDataset.default_conf,
         "name": "homographies_ondevice_cached",
         "features_from": {
+            "name": "extractors.superpoint",  # any extractor works (sift,
+            # aliked, disk, ...); unknown keys are filtered per extractor
             "experiment": None,  # checkpoint experiment holding the extractor
             "max_num_keypoints": 512,
             "detection_threshold": 0.0005,
             "nms_radius": 4,
             "batch": 16,
+            "on_host": False,  # extract on CPU (callback extractors)
         },
         "desc_noise": 0.05,
         "desc_dropout": 0.05,
@@ -357,14 +360,15 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
         base = OnDeviceHomographyDataset.build_pool(self, split)
         self._pools.pop(split)  # replace the image pool with a feature pool
         fconf = self.conf.features_from
-        extractor = build_model(
-            "extractors.superpoint",
-            {
-                "max_num_keypoints": int(fconf.max_num_keypoints),
-                "detection_threshold": float(fconf.detection_threshold),
-                "nms_radius": int(fconf.nms_radius),
-            },
-        )
+        from ..models import get_model
+
+        ext_name = fconf.get("name", "extractors.superpoint")
+        known = get_model(ext_name).default_conf
+        ext_conf = {
+            k: v for k, v in fconf.to_dict().items()
+            if k in known and k != "name"
+        }
+        extractor = build_model(ext_name, ext_conf)
         images = base["images"].astype(np.float32) / 255.0
         n, h, w = images.shape[:3]
         bs = int(fconf.batch)
@@ -381,7 +385,13 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
                 k.replace("['extractor']", ""): v for k, v in flat.items()
             }
             params = restore_from_flat_dict(params, flat)
-        apply_fn = jax.jit(extractor.apply)
+        if fconf.get("on_host", False):
+            # host-callback extractors (sift/lsd: cv2 via pure_callback)
+            # should not round-trip a remote TPU tunnel; pin to CPU
+            cpu = jax.devices("cpu")[0]
+            apply_fn = jax.jit(extractor.apply, device=cpu)
+        else:
+            apply_fn = jax.jit(extractor.apply)
         kpts, descs, scores, valid = [], [], [], []
         size = jnp.asarray([[float(w), float(h)]], jnp.float32)
         for i in range(0, n, bs):

@@ -61,3 +61,36 @@ def test_homographies_with_cached_features(tmp_path):
     if both.any():
         assert (m0[both] == gt[both]).mean() > 0.9
     assert (gt >= 0).sum() > 10  # enough overlap supervision exists
+
+
+def test_cached_engine_generic_extractor_sift():
+    """The on-device cached-feature engine with a non-SuperPoint extractor
+    (SIFT on host via cv2 callback) feeding a matcher-only pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.datasets import get_dataset
+    from gluefactory_tpu.models import build_model
+
+    ds = get_dataset("homographies_ondevice_cached")({
+        "pool_size": 6, "val_pool_size": 4, "source_size": [160, 160],
+        "image_size": 128, "max_gt_points": 64,
+        "train_batch_size": 4, "val_batch_size": 4,
+        "features_from": {"name": "extractors.sift",
+                          "max_num_keypoints": 64,
+                          "contrast_threshold": 0.01, "batch": 4,
+                          "on_host": True},
+    })
+    pool = {k: jnp.asarray(v) for k, v in ds.build_pool("train").items()}
+    batch = ds.make_batch(pool, jax.random.key(0))
+    assert batch["view0"]["cache"]["descriptors"].shape[-1] == 128
+    pipe = build_model("two_view_pipeline", {
+        "extractor": {"name": None}, "allow_no_extract": True,
+        "matcher": {"name": "matchers.lightglue", "input_dim": 128,
+                    "n_layers": 2, "checkpointed": False},
+        "ground_truth": {"name": "matchers.homography_matcher"},
+        "run_gt_in_forward": True})
+    params = pipe.init(jax.random.key(0), batch)
+    pred = pipe.apply(params, batch)
+    losses, _ = pipe.apply(params, pred, batch, method=pipe.loss)
+    assert float(jnp.mean(losses["total"])) > 0
