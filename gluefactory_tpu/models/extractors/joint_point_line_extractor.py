@@ -120,6 +120,8 @@ class JPLDD(BaseModel):
             "heatmap_logits": heat_logits,
             "distance_field_norm": df_norm,
             "distance_field": self.denormalize_df(df_norm),
+            # trunk features for composition (POLD2 dense descriptor branch)
+            "backbone_features": features,
         }
         if conf.use_angle_field:
             sc = self.af_head(features)

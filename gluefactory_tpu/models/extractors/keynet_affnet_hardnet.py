@@ -362,8 +362,10 @@ class KeyNetAffNetHardNet(BaseModel):
                 border=int(2 * self.conf.nms_radius * min(s, 1.0)) + 1,
                 image_size=size_l,
             )
-            # back to full-res pixel-center coords
-            kp = (kp + 0.5) / s - 0.5
+            # back to full-res pixel-center coords, using the ACTUAL
+            # per-axis resize ratios (nh/h differs from s after rounding)
+            ratio = jnp.asarray([w / nw, h / nh], jnp.float32)
+            kp = (kp + 0.5) * ratio - 0.5
             kps.append(kp)
             scs.append(sc)
             vls.append(valid)

@@ -83,7 +83,11 @@ class POLD2(BaseModel):
     def _forward(self, data: dict) -> dict:
         pred = self.net(data)
         if self.conf.has_descriptor:
-            feats = self.net.backbone(data["image"])
+            # the JPLDD forward exposes its trunk features; reuse them
+            # rather than paying a second backbone pass per view
+            feats = pred.pop("backbone_features", None)
+            if feats is None:
+                feats = self.net.backbone(data["image"])
             dmap = self.desc_conv(feats)
             dmap = dmap / jnp.maximum(
                 jnp.linalg.norm(dmap, axis=-1, keepdims=True), 1e-8)
@@ -130,7 +134,9 @@ class POLD2(BaseModel):
                     (kp0_in1[..., 0] >= 0) & (kp0_in1[..., 0] < w1)
                     & (kp0_in1[..., 1] >= 0) & (kp0_in1[..., 1] < h1))
                 desc = caps_window_loss(
-                    pred["descriptors0"], kp0_in1,
+                    # bilinear_sample uses index coords; keypoints are in
+                    # the +0.5 pixel-center convention
+                    pred["descriptors0"], kp0_in1 - 0.5,
                     pred["descriptors_dense1"],
                     window=int(self.conf.caps_window),
                     temperature=1.0 / self._temperature(),
@@ -155,7 +161,12 @@ class POLD2(BaseModel):
             "gt_distance_field" in v0,
             bool(self.conf.backbone.get("use_angle_field", False))
             and "gt_angle_field" in v0,
-            bool(self.conf.has_descriptor),
+            # the desc term is active only when its inputs exist, else it
+            # is a constant 0 and would drag its dynamic log-variance down
+            bool(self.conf.has_descriptor) and (
+                ("H_0to1" in data) if self.conf.desc_loss == "caps"
+                else ("gt_matches0" in pred)
+            ),
         ]
         terms = [losses["kp"], losses["df"], losses["af"], desc]
         if lw.type == "dynamic":

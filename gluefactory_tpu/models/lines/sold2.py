@@ -207,16 +207,19 @@ class SOLD2(BaseModel):
         n_cells = hc * wc
         tgt = jnp.full((b, n_cells), g * g)  # dustbin default
         bidx = jnp.arange(b)[:, None]
-        # later writes win; invalid endpoints write to a scratch slot
-        cell = jnp.where(evalid, cell, 0)
-        tgt = tgt.at[bidx, cell].set(
-            jnp.where(evalid, inner, g * g), mode="drop")
+        # invalid endpoints index out of bounds -> dropped by mode="drop"
+        cell = jnp.where(evalid, cell, n_cells)
+        tgt = tgt.at[bidx, cell].set(inner, mode="drop")
         logp = jax.nn.log_softmax(jl.reshape(b, n_cells, -1), axis=-1)
         junc_ce = -jnp.take_along_axis(
             logp, tgt[..., None], axis=-1)[..., 0].mean(axis=1)
 
-        # --- heatmap BCE: rasterize GT segments by fixed-count sampling
-        s = 16
+        # --- heatmap BCE: rasterize GT segments by fixed-count sampling;
+        # 64 samples + a radius-2 dilation keep segments up to ~300 px
+        # contiguous instead of dotted (sparser sampling would label the
+        # pixels between samples as background and fight the extractor's
+        # along-segment inlier test)
+        s = 64
         t = jnp.linspace(0.0, 1.0, s)[None, None, :, None]
         pts = lines[:, :, None, 0] + (
             lines[:, :, 1] - lines[:, :, 0])[:, :, None] * t
@@ -228,6 +231,9 @@ class SOLD2(BaseModel):
             lvalid[:, :, None], pts.shape[:3]).reshape(b, -1)
         mask_on = mask_on.at[bidx, flat_idx].max(
             vals.astype(jnp.float32), mode="drop")
+        from ...ops.nms import max_pool_2d
+
+        mask_on = max_pool_2d(mask_on.reshape(b, h, w), 2).reshape(b, h * w)
         hflat = jnp.clip(heat.reshape(b, h * w), 1e-6, 1 - 1e-6)
         pw = float(conf.pos_weight)
         bce = -(pw * mask_on * jnp.log(hflat)

@@ -247,7 +247,8 @@ class LoFTR(BaseModel):
         transformer, correlate view0's center against view1's window and
         take the spatial expectation (official FineMatching)."""
         w = int(self.conf.fine_window)
-        b, hf, wf, dc = f1.shape
+        b = f1.shape[0]
+        dc = f1.shape[-1]
         k = kp0.shape[1]
         r = w // 2
         offs = jnp.stack(
@@ -255,8 +256,10 @@ class LoFTR(BaseModel):
                          indexing="ij"), -1).reshape(-1, 2)  # (w*w, (dy,dx))
 
         def gather(fm, kp):
-            # kp in full-res pixels -> fine-map cells (stride 2)
-            cell = jnp.round(kp / 2.0).astype(jnp.int32)
+            # kp in full-res pixel-center coords -> this map's cells
+            # (stride 2); each view uses its OWN fine-map dimensions
+            hf, wf = fm.shape[1:3]
+            cell = jnp.round((kp - 0.5) / 2.0).astype(jnp.int32)
             cy = jnp.clip(cell[..., 1][..., None] + offs[:, 0], 0, hf - 1)
             cx = jnp.clip(cell[..., 0][..., None] + offs[:, 1], 0, wf - 1)
             flat = fm.reshape(b, hf * wf, dc)
@@ -294,12 +297,13 @@ class LoFTR(BaseModel):
         valid = top > 0.0
         i0 = idx // s
         i1 = idx % s
+        # cell centers in the repo-wide pixel-center (+0.5) convention
         kp0 = jnp.stack(
             [(i0 % wc0).astype(jnp.float32), (i0 // wc0).astype(jnp.float32)],
-            -1) * 8.0 + 3.5
+            -1) * 8.0 + 4.0
         kp1 = jnp.stack(
             [(i1 % wc1).astype(jnp.float32), (i1 // wc1).astype(jnp.float32)],
-            -1) * 8.0 + 3.5
+            -1) * 8.0 + 4.0
         kp1, fine_prob = self._fine_refine(f0, f1, kp0, kp1, valid)
         kp0 = jnp.where(valid[..., None], kp0, 0.0)
         kp1 = jnp.where(valid[..., None], kp1, 0.0)
@@ -332,13 +336,13 @@ class LoFTR(BaseModel):
         hc1, wc1 = -(-h1 // 8), -(-w1 // 8)
         H = data["H_0to1"]
         # cell centers of view0 in full-res pixels
-        xs = (jnp.arange(wc0) * 8.0 + 3.5)
-        ys = (jnp.arange(hc0) * 8.0 + 3.5)
+        xs = (jnp.arange(wc0) * 8.0 + 4.0)
+        ys = (jnp.arange(hc0) * 8.0 + 4.0)
         cx, cy = jnp.meshgrid(xs, ys, indexing="xy")
         pts0 = jnp.stack([cx.ravel(), cy.ravel()], -1)[None].repeat(b, 0)
         pts0_w = warp_points(pts0, H)
-        c1x = jnp.round((pts0_w[..., 0] - 3.5) / 8.0).astype(jnp.int32)
-        c1y = jnp.round((pts0_w[..., 1] - 3.5) / 8.0).astype(jnp.int32)
+        c1x = jnp.round((pts0_w[..., 0] - 4.0) / 8.0).astype(jnp.int32)
+        c1y = jnp.round((pts0_w[..., 1] - 4.0) / 8.0).astype(jnp.int32)
         inb = (c1x >= 0) & (c1x < wc1) & (c1y >= 0) & (c1y < hc1)
         tgt = jnp.clip(c1y, 0, hc1 - 1) * wc1 + jnp.clip(c1x, 0, wc1 - 1)
         pos = jax.nn.one_hot(tgt, s) * inb[..., None]  # (b, l, s)

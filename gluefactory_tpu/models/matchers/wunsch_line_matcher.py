@@ -100,9 +100,11 @@ class WunschLineMatcher(BaseModel):
         valid1 = jnp.take_along_axis(
             scores > float(self.conf.min_score), best1[:, None, :], axis=1
         )[:, 0]
-        m1 = jnp.where(
-            (jnp.take_along_axis(best0, best1, axis=1)
-             == jnp.arange(l1)) & v1 & valid1, best1, -1)
+        ok1 = valid1 & v1
+        if self.conf.cross_check:
+            ok1 = ok1 & (jnp.take_along_axis(best0, best1, axis=1)
+                         == jnp.arange(l1))
+        m1 = jnp.where(ok1, best1, -1)
         return {
             "line_matches0": m0,
             "line_matches1": m1,
