@@ -292,38 +292,60 @@ def merge_lines(
 
 def area_line_dist(segs0: jnp.ndarray, segs1: jnp.ndarray, lbd: float = 1.0 / 24.0) -> jnp.ndarray:
     """Length-unbiased 'area' line distance (reference
-    utils/ls_evaluation.py:get_area_line_dist:168): the area enclosed between
-    two segments, normalized by length — symmetrized over both directions.
-    (..., L0, L1)."""
+    utils/ls_evaluation.py:get_area_line_dist:125-174): asym(a, b) projects
+    b's endpoints onto a's infinite line; intersecting pairs score the two
+    enclosed triangles (h0^2 + h1^2) / (2 tan(theta) len(b)^2), non-
+    intersecting pairs score lbd * min(h0, h1) + sin(2 theta) / 4;
+    symmetrized over both directions. Exactly-collinear touching pairs
+    (measure-zero orientation == 0 cases) take the non-intersecting branch,
+    which coincides with the reference value there. (..., L0, L1)."""
+
+    def _orient(p, q, r):
+        return jnp.sign(
+            (q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1])
+            - (q[..., 1] - p[..., 1]) * (r[..., 0] - p[..., 0])
+        )
 
     def asym(a, b):
-        # project a's endpoints onto b's line: heights h0, h1 and the angle
-        d_b = b[..., 1, :] - b[..., 0, :]  # (..., L1, 2)
-        len_b = jnp.linalg.norm(d_b, axis=-1)
-        u_b = d_b / jnp.maximum(len_b, 1e-8)[..., None]
-        d_a = a[..., 1, :] - a[..., 0, :]
-        len_a = jnp.linalg.norm(d_a, axis=-1)
-        u_a = d_a / jnp.maximum(len_a, 1e-8)[..., None]
-        # pairwise expand
+        # pairwise expand: a over axis -2 of the output, b over axis -1
         a0 = a[..., :, None, 0, :]
         a1 = a[..., :, None, 1, :]
         b0 = b[..., None, :, 0, :]
-        ub = u_b[..., None, :, :]
+        b1 = b[..., None, :, 1, :]
+        d_a = a[..., 1, :] - a[..., 0, :]
+        u_a = d_a / jnp.maximum(
+            jnp.linalg.norm(d_a, axis=-1, keepdims=True), 1e-8)
         ua = u_a[..., :, None, :]
-        lb = len_b[..., None, :]
-        cross = jnp.abs(ua[..., 0] * ub[..., 1] - ua[..., 1] * ub[..., 0])
-        sin_t = jnp.clip(cross, 1e-6, 1.0)
+        d_b = b[..., 1, :] - b[..., 0, :]
+        u_b = d_b / jnp.maximum(
+            jnp.linalg.norm(d_b, axis=-1, keepdims=True), 1e-8)
+        ub = u_b[..., None, :, :]
+        len_b = jnp.linalg.norm(b1 - b0, axis=-1)
+
+        # heights of b's endpoints over a's infinite line
         h0 = jnp.abs(
-            (a0 - b0)[..., 0] * ub[..., 1] - (a0 - b0)[..., 1] * ub[..., 0]
-        )
+            (b0 - a0)[..., 0] * ua[..., 1] - (b0 - a0)[..., 1] * ua[..., 0])
         h1 = jnp.abs(
-            (a1 - b0)[..., 0] * ub[..., 1] - (a1 - b0)[..., 1] * ub[..., 0]
-        )
-        tan_t = sin_t / jnp.sqrt(jnp.clip(1.0 - sin_t**2, 1e-6, 1.0))
-        area = (h0**2 + h1**2) / (2.0 * tan_t * jnp.maximum(lb, 1e-8) ** 2)
-        # near-parallel pairs: fall back to the mean-height trapezoid area
-        parallel = cross < 1e-3
-        trapezoid = 0.5 * (h0 + h1) / jnp.maximum(lb, 1e-8)
-        return jnp.where(parallel, lbd + trapezoid, area)
+            (b1 - a0)[..., 0] * ua[..., 1] - (b1 - a0)[..., 1] * ua[..., 0])
+
+        cos_t = jnp.abs(jnp.sum(ua * ub, axis=-1))
+        sin_t = jnp.abs(
+            ua[..., 0] * ub[..., 1] - ua[..., 1] * ub[..., 0])
+        # arctan2 is exact at theta=0 where float32 arccos(|dot|) is noisy
+        theta = jnp.arctan2(sin_t, cos_t)
+        parallel = jnp.abs(theta) < 1e-8
+        tan_t = jnp.where(parallel, 1.0, jnp.tan(theta))
+        area = (h0**2 + h1**2) / (
+            2.0 * tan_t * jnp.maximum(len_b, 1e-8) ** 2
+        ) * (1.0 - parallel)
+
+        o1 = _orient(a0, a1, b0)
+        o2 = _orient(a0, a1, b1)
+        o3 = _orient(b0, b1, a0)
+        o4 = _orient(b0, b1, a1)
+        crossing = (o1 != o2) & (o3 != o4)
+
+        non_int = lbd * jnp.minimum(h0, h1) + 0.25 * jnp.sin(2.0 * theta)
+        return jnp.where(crossing, area, non_int)
 
     return 0.5 * (asym(segs0, segs1) + jnp.swapaxes(asym(segs1, segs0), -1, -2))

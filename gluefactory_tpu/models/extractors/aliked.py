@@ -31,7 +31,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.interpolate import bilinear_sample
+from ...ops.interpolate import bilinear_sample_zeros, bilinear_sample
 from ...ops.nms import select_top_k_keypoints, simple_nms, soft_argmax_refinement
 from ..base_model import BaseModel
 
@@ -44,33 +44,9 @@ ALIKED_CFGS = {
 }
 
 
-def _bilinear_zeros(fmap: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sampling with zero padding outside the image — the semantics
-    of torchvision deform_conv2d / grid_sample(padding_mode='zeros') used by
-    the official ALIKED (reference aliked.py:419-426,660-662). fmap
-    (B, H, W, C), points (B, N, 2) in (x, y) pixel coords -> (B, N, C)."""
-    b, h, w, c = fmap.shape
-    x, y = points[..., 0], points[..., 1]
-    x0f, y0f = jnp.floor(x), jnp.floor(y)
-    x0, y0 = x0f.astype(jnp.int32), y0f.astype(jnp.int32)
-    fx = (x - x0f)[..., None]
-    fy = (y - y0f)[..., None]
-    flat = fmap.reshape(b, h * w, c)
-
-    def gather(yy, xx):
-        inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
-        idx = jnp.where(inb, yy * w + xx, 0)[..., None]
-        v = jnp.take_along_axis(flat, idx, axis=1)
-        return v * inb[..., None]
-
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x0 + 1)
-    v10 = gather(y0 + 1, x0)
-    v11 = gather(y0 + 1, x0 + 1)
-    top = v00 * (1 - fx) + v01 * fx
-    bot = v10 * (1 - fx) + v11 * fx
-    return top * (1 - fy) + bot * fy
-
+# zero-padded bilinear sampling lives in ops.interpolate.bilinear_sample_zeros
+# (torchvision deform_conv2d / grid_sample(padding_mode='zeros') semantics,
+# reference aliked.py:419-426,660-662)
 
 def _resize_align_corners(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Bilinear resize with align_corners=True (torch nn.Upsample semantics,
@@ -122,7 +98,7 @@ class CompatDCN(nn.Module):
                               jnp.arange(w, dtype=x.dtype), indexing="ij")
         centers = jnp.stack([xs, ys], axis=-1)[None, :, :, None, :]
         pos = centers + base + off  # (b, h, w, kk, 2)
-        sampled = _bilinear_zeros(x, pos.reshape(b, h * w * kk, 2))
+        sampled = bilinear_sample_zeros(x, pos.reshape(b, h * w * kk, 2))
         sampled = sampled.reshape(b, h, w, kk * c)
         return nn.Dense(self.features, name="mix")(sampled)
 
@@ -198,7 +174,7 @@ class CompatSDDH(nn.Module):
         # official layout: view(N, 2, M) -> first M channels = x offsets
         offs = offs.reshape(b, n, 2, M).transpose(0, 1, 3, 2)  # (B, N, M, 2)
         pos = keypoints[:, :, None, :] + offs
-        feats = _bilinear_zeros(fmap, pos.reshape(b, n * M, 2))
+        feats = bilinear_sample_zeros(fmap, pos.reshape(b, n * M, 2))
         feats = feats.reshape(b, n, M, c)
         feats = nn.selu(nn.Dense(c, use_bias=False, name="sf_conv")(feats))
         agg_w = self.param("agg", nn.initializers.normal(0.02),

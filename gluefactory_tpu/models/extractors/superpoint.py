@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.interpolate import sample_descriptors
+from ...ops.interpolate import cell_logits_to_heatmap, sample_descriptors
 from ...ops.nms import select_top_k_keypoints, simple_nms, soft_argmax_refinement
 from ..base_model import BaseModel
 
@@ -149,10 +149,7 @@ class SuperPoint(BaseModel):
                 pa = self.affinePa(pa)
             logits = self.convPb(pa)  # (B, H/8, W/8, 65)
             logits = logits.astype(jnp.float32)
-            probs = nn.softmax(logits, axis=-1)[..., :-1]  # drop dustbin
-            # (B, Hc, Wc, 64) -> full-res heatmap (B, H, W)
-            heat_raw = probs.reshape(b, hc, wc, 8, 8)
-            heat_raw = heat_raw.transpose(0, 1, 3, 2, 4).reshape(b, hc * 8, wc * 8)
+            heat_raw = cell_logits_to_heatmap(logits)
             heat = simple_nms(heat_raw, self.conf.nms_radius)
             image_size = data.get("image_size")
             keypoints, scores, valid = select_top_k_keypoints(
@@ -248,11 +245,7 @@ class SuperPoint(BaseModel):
 
                 # full-res pre-NMS heatmap, recomputed from the logits (cheap:
                 # softmax + reshape; avoids storing it in training outputs)
-                probs = nn.softmax(logits, axis=-1)[..., :-1]
-                heat_raw = probs.reshape(b, hc, wc, 8, 8)
-                heat_raw = heat_raw.transpose(0, 1, 3, 2, 4).reshape(
-                    b, hc * 8, wc * 8
-                )
+                heat_raw = cell_logits_to_heatmap(logits)
                 # nearest GT corner per detection (index coords: strip the
                 # +0.5 pixel-center convention both sides)
                 nearest = jnp.argmin(d2, axis=2)  # (B, K)

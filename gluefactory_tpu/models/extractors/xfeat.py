@@ -42,6 +42,7 @@ import numpy as np
 from ...ops.interpolate import (
     bicubic_sample_zeros,
     bilinear_sample,
+    cell_logits_to_heatmap,
     sample_descriptors,
 )
 from ...ops.nms import max_pool_2d, select_top_k_keypoints, simple_nms
@@ -80,13 +81,8 @@ def _unfold8(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4).reshape(b, hc, wc, 64)
 
 
-def _cell_logits_to_heatmap(logits: jnp.ndarray) -> jnp.ndarray:
-    """Softmax over the 65 cell logits, drop the dustbin, unshuffle to a
-    full-resolution heatmap (reference xfeat.py:289-296)."""
-    b, hc, wc, _ = logits.shape
-    probs = jax.nn.softmax(logits, axis=-1)[..., :64]
-    heat = probs.reshape(b, hc, wc, 8, 8).transpose(0, 1, 3, 2, 4)
-    return heat.reshape(b, hc * 8, wc * 8)
+# softmax + dustbin-drop + 8x8 pixel-unshuffle (reference xfeat.py:289-296)
+# lives in ops.interpolate.cell_logits_to_heatmap, shared with SuperPoint.
 
 
 def _normgrid_pixels(pts: jnp.ndarray, full_hw, map_hw) -> jnp.ndarray:
@@ -208,7 +204,7 @@ class XFeat(BaseModel):
     def _sparse_compat(self, image, desc_map, kp_logits, rel):
         b, h, w, _ = image.shape
         k = int(self.conf.max_num_keypoints)
-        heat = _cell_logits_to_heatmap(kp_logits)  # (B, Hh, Wh)
+        heat = cell_logits_to_heatmap(kp_logits)  # (B, Hh, Wh)
         _, hh, wh = heat.shape
         hc, wc = rel.shape[1], rel.shape[2]
 
@@ -259,7 +255,7 @@ class XFeat(BaseModel):
     # ---- TPU-canonical sparse path (native) ------------------------------
 
     def _sparse_native(self, data, desc_map, kp_logits, rel):
-        heat = _cell_logits_to_heatmap(kp_logits)
+        heat = cell_logits_to_heatmap(kp_logits)
         heat = simple_nms(heat, int(self.conf.nms_radius))
         keypoints, scores, valid = select_top_k_keypoints(
             heat, k=int(self.conf.max_num_keypoints),

@@ -159,3 +159,18 @@ def bicubic_sample_zeros(fmap: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
             row = row + _gather_zeros(flat, y0 + dy, x0 + dx, h, w) * wxs[dx + 1]
         out = out + row * wys[dy + 1]
     return out
+
+
+def cell_logits_to_heatmap(logits, cell: int = 8, dustbin: bool = True):
+    """Decode SuperPoint/XFeat-style per-cell logits into a full-resolution
+    probability heatmap: softmax over the cell**2 (+ dustbin) channels, drop
+    the dustbin, pixel-unshuffle. logits (B, Hc, Wc, cell*cell [+1]) ->
+    (B, Hc*cell, Wc*cell)."""
+    import jax
+
+    b, hc, wc, _ = logits.shape
+    probs = jax.nn.softmax(logits, axis=-1)
+    if dustbin:
+        probs = probs[..., :-1]
+    heat = probs.reshape(b, hc, wc, cell, cell).transpose(0, 1, 3, 2, 4)
+    return heat.reshape(b, hc * cell, wc * cell)

@@ -252,3 +252,62 @@ def test_wireframe_pipeline(tmp_path):
     # LSD on clean renders must recover most GT segments
     assert summaries["morth_recall@5.0px"] > 0.5, summaries
     assert "mstruct_rep@5.0px" in summaries
+
+
+def _ref_area_dist(seg1, seg2, lbd=1 / 24):
+    """Direct numpy transliteration of the reference get_area_line_dist
+    (utils/ls_evaluation.py:125-174) for parity checking."""
+
+    def orient(p, q, r):
+        return np.sign(np.sum(
+            (q - p)[:, [1, 0]] * (r - p) * np.array([-1.0, 1.0]), axis=1))
+
+    def intersect(l1, l2):
+        o1 = orient(l1[:, 0], l1[:, 1], l2[:, 0])
+        o2 = orient(l1[:, 0], l1[:, 1], l2[:, 1])
+        o3 = orient(l2[:, 0], l2[:, 1], l1[:, 0])
+        o4 = orient(l2[:, 0], l2[:, 1], l1[:, 1])
+        return (o1 != o2) & (o3 != o4)
+
+    def asym(l1, l2):
+        n1, n2 = len(l1), len(l2)
+        a1 = np.repeat(l1[:, None], n2, 1).reshape(-1, 2, 2)
+        a2 = np.repeat(l2[None], n1, 0).reshape(-1, 2, 2)
+        crossing = intersect(a1, a2).reshape(n1, n2)
+        d = l1[:, 1] - l1[:, 0]
+        u = d / (np.linalg.norm(d, axis=1, keepdims=True) + 1e-12)
+        pts = l2.reshape(-1, 2)
+        rel = pts[None] - l1[:, None, 0]
+        od = np.abs(rel[..., 0] * u[:, None, 1] - rel[..., 1] * u[:, None, 0])
+        od = od.reshape(n1, n2, 2)
+        d1 = l1[:, 1] - l1[:, 0]
+        d2 = l2[:, 1] - l2[:, 0]
+        d1 = d1 / (np.linalg.norm(d1, axis=1, keepdims=True) + 1e-12)
+        d2 = d2 / (np.linalg.norm(d2, axis=1, keepdims=True) + 1e-12)
+        theta = np.arccos(np.minimum(1, np.abs(d1 @ d2.T)))
+        parallel = np.abs(theta) < 1e-8
+        tan_t = np.tan(theta)
+        tan_t[parallel] = 1
+        len2 = np.linalg.norm(l2[:, 1] - l2[:, 0], axis=1)[None]
+        area = (od**2).sum(2) / (2 * tan_t * len2**2) * (1.0 - parallel)
+        non_int = lbd * od.min(2) + np.sin(2 * theta) / 4
+        area[~crossing] = non_int[~crossing]
+        return area
+
+    return (asym(seg1, seg2) + asym(seg2, seg1).T) / 2
+
+
+def test_area_distance_reference_parity():
+    from gluefactory_tpu.geometry.lines import area_line_dist
+
+    rng_a = np.random.default_rng(3)
+    seg1 = rng_a.uniform(0, 100, (12, 2, 2)).astype(np.float64)
+    seg2 = rng_a.uniform(0, 100, (9, 2, 2)).astype(np.float64)
+    ours = np.asarray(area_line_dist(
+        jnp.asarray(seg1, jnp.float32), jnp.asarray(seg2, jnp.float32)))
+    ref = _ref_area_dist(seg1, seg2)
+    np.testing.assert_allclose(ours, ref, rtol=2e-3, atol=2e-3)
+    # self-distance of identical segments is exactly zero
+    self_d = np.asarray(area_line_dist(
+        jnp.asarray(seg1, jnp.float32), jnp.asarray(seg1, jnp.float32)))
+    np.testing.assert_allclose(np.diag(self_d), 0.0, atol=1e-5)

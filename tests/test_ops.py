@@ -184,3 +184,33 @@ def test_pallas_rotary_attention_interpret():
                                         interpret=True)
     out_ref = attention_xla(apply_rotary(q, cos, sin), k_rot, v, kv_mask=mask)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref), atol=2e-5)
+
+
+def test_zero_padding_samplers_match_torch_semantics():
+    """nearest/bilinear zeros samplers vs torch grid_sample (parity layer for
+    compat graphs)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from gluefactory_tpu.ops.interpolate import (
+        bilinear_sample_zeros, nearest_sample_zeros,
+    )
+
+    rng_l = np.random.default_rng(9)
+    fmap = rng_l.normal(size=(1, 7, 9, 3)).astype(np.float32)
+    pts = rng_l.uniform(-2, 10, (1, 40, 2)).astype(np.float32)
+
+    t_map = torch.from_numpy(fmap.transpose(0, 3, 1, 2))
+    h, w = 7, 9
+    gx = (pts[..., 0] * 2 + 1) / w - 1  # unnormalized -> align_corners=False
+    gy = (pts[..., 1] * 2 + 1) / h - 1
+    grid = torch.from_numpy(
+        np.stack([gx, gy], -1)[:, :, None]).float()
+    for mode, fn in (("nearest", nearest_sample_zeros),
+                     ("bilinear", bilinear_sample_zeros)):
+        want = F.grid_sample(
+            t_map, grid, mode=mode, padding_mode="zeros",
+            align_corners=False)[0, :, :, 0].T.numpy()
+        got = np.asarray(fn(jnp.asarray(fmap), jnp.asarray(pts)))[0]
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=mode)
