@@ -92,7 +92,12 @@ class _CachedSplit:
         img = read_image(path).astype(np.float32) / 255.0
         if self.split == "train" and rng.uniform() < float(self.conf.photometric.p):
             img = self.parent.photometric(img, rng)
-        view = self.parent.preprocessor((img * 255).astype(np.uint8))
+        # per-split override (e.g. scannet multiscale epochs) wins; never
+        # mutate the parent's preprocessor — splits are read concurrently
+        # by the threaded loader
+        pp = getattr(self, "_epoch_preprocessor", None) \
+            or self.parent.preprocessor
+        view = pp((img * 255).astype(np.uint8))
         grp = self._gt(rel if rel in self._file_keys() else path.stem)
         h, w = view["image"].shape[:2]
         out = {**view, "idx": np.int32(idx), "name": rel}

@@ -189,10 +189,19 @@ class OnDeviceHomographyDataset(BaseDataset):
             paths = sorted(p for pat in conf.glob for p in root.glob("**/" + pat))
             if not paths:
                 raise FileNotFoundError(f"no pool images under {root}")
-            rng = np.random.default_rng(int(conf.seed) + (1 if split == "val" else 0))
+            # ONE shared permutation so the val tail is disjoint from the
+            # train head (independently-seeded permutations leaked val
+            # images into the train pool)
+            rng = np.random.default_rng(int(conf.seed))
             sel = rng.permutation(len(paths))
-            # val uses the tail of the shuffled list, train the head
             sel = sel[-n:] if split == "val" else sel[:n]
+            if len(paths) < n + (int(conf.val_pool_size) if split != "val"
+                                 else 0):
+                logger_warn = __import__(
+                    "gluefactory_tpu", fromlist=["logger"]).logger.warning
+                logger_warn(
+                    "pool wants %d+val images but only %d available; "
+                    "train/val pools will overlap", n, len(paths))
             for i, pi in enumerate(sel):
                 img = read_image(paths[pi % len(paths)]).astype(np.float32) / 255.0
                 if img.ndim == 3:

@@ -287,23 +287,29 @@ class _TripletDataset(_PairDataset):
             ok = valid_img & (valid_d if conf.read_depth else True)
             good = good & ok[:, None] & ok[None, :]
             rows = np.where(good.sum(-1) > 1)[0]
-            triplets = []
-            for k in rows:
-                js = np.where(good[k])[0]
-                for a in range(len(js)):
-                    for b in range(a + 1, len(js)):
-                        i, j = js[a], js[b]
-                        if conf.triplet_enforce_overlap and not good[i, j]:
-                            continue
-                        triplets.append((k, i, j))
-            if not triplets:
+            if len(rows) == 0:
                 continue
-            sel = rng.choice(
-                len(triplets), size=min(num, len(triplets)), replace=False
-            )
-            for k, i, j in np.asarray(triplets)[sel]:
+            # sample anchors and covisible pairs directly (the reference
+            # recipe) instead of materializing every (k, i, j) — a dense
+            # scene has O(deg^2) triplets per anchor and enumerating them
+            # all stalls every epoch start
+            seen = set()
+            attempts = 0
+            while len(seen) < num and attempts < 20 * num:
+                attempts += 1
+                k = int(rng.choice(rows))
+                js = np.where(good[k])[0]
+                if len(js) < 2:
+                    continue
+                i, j = (int(x) for x in rng.choice(js, 2, replace=False))
+                if conf.triplet_enforce_overlap and not good[i, j]:
+                    continue
+                key = (k, min(i, j), max(i, j))
+                if key in seen:
+                    continue
+                seen.add(key)
                 items.append(
-                    (scene, int(k), int(i), int(j),
+                    (scene, k, i, j,
                      float(mat[k, i]), float(mat[k, j]), float(mat[i, j]))
                 )
         rng.shuffle(items)

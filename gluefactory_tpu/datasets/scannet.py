@@ -54,7 +54,7 @@ class ScanNetDataset(CachedGTDataset):
         self.scene_frames: dict[str, list] = {}
         for scene, frames in scenes.items():
             frames = sorted(frames)
-            k = per_scene if scene in self.train_scenes else per_scene
+            k = per_scene
             if len(frames) > k:
                 # equidistant subsample across the trajectory
                 sel = np.linspace(0, len(frames) - 1, k).round().astype(int)
@@ -85,19 +85,11 @@ class _ScanNetSplit(_CachedSplit):
             size = int(list(sizes)[epoch % len(list(sizes))])
             pp = dict(self.conf.preprocessing.to_dict())
             pp["resize"] = size
+            # consumed by _CachedSplit.getitem (thread-safe: no shared
+            # parent state is mutated)
             self._epoch_preprocessor = ImagePreprocessor(pp)
             logger.info("[scannet] epoch %d resize=%d", epoch, size)
 
-    def getitem(self, idx: int, rng: np.random.Generator) -> dict:
-        if self._epoch_preprocessor is not None:
-            # temporarily route through the epoch's scale
-            orig = self.parent.preprocessor
-            self.parent.preprocessor = self._epoch_preprocessor
-            try:
-                return super().getitem(idx, rng)
-            finally:
-                self.parent.preprocessor = orig
-        return super().getitem(idx, rng)
 
 
 __main_dataset__ = ScanNetDataset

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from tqdm import tqdm
 
-from ..geometry.epipolar import T_to_E, sym_epipolar_distance
+from ..geometry.epipolar import T_to_E
 from ..geometry.lines import sample_points_on_lines
 from ..models.cache_loader import CacheLoader
 from ..settings import EVAL_PATH
@@ -73,17 +73,29 @@ class MegaDepth1500ExtendedPipeline(MegaDepth1500Pipeline):
             segs0 = pred["lines0"][jnp.asarray(matched)]
             segs1 = pred["lines1"][jnp.asarray(np.clip(lm0, 0, None)[matched])]
             p0 = sample_points_on_lines(segs0[None], n_samples)[0]
-            p1 = sample_points_on_lines(segs1[None], n_samples)[0]
             r0 = cam0.image2cam(p0.reshape(1, -1, 2))[0]
-            r1 = cam1.image2cam(p1.reshape(1, -1, 2))[0]
-            # symmetric epipolar distance of sampled correspondences; a line
-            # match is correct if the MEDIAN sampled distance clears the
-            # threshold (points along matched segments correspond only up to
-            # position along the line, so the point-to-line epipolar residual
-            # is the right error model)
-            d = np.asarray(
-                sym_epipolar_distance(r0[None], r1[None], E[None], squared=False)
-            ).reshape(-1, n_samples)
+            n_m = segs0.shape[0]
+            # points along matched segments correspond only up to position
+            # along the line, so score each sample's epipolar LINE against
+            # the whole matched SEGMENT: zero if the line crosses it, else
+            # the nearer endpoint's line distance (a point-to-point epipolar
+            # residual would penalize correct matches whose detections cover
+            # different extents of the same 3-D line)
+            lines1 = jnp.einsum(
+                "ij,nj->ni",
+                E,
+                jnp.concatenate([r0, jnp.ones_like(r0[:, :1])], -1),
+            ).reshape(n_m, n_samples, 3)
+            ends = cam1.image2cam(segs1.reshape(1, -1, 2))[0]
+            ends_h = jnp.concatenate(
+                [ends, jnp.ones_like(ends[:, :1])], -1
+            ).reshape(n_m, 2, 3)
+            nrm = jnp.linalg.norm(lines1[..., :2], axis=-1)
+            sa = jnp.einsum("nsk,nk->ns", lines1, ends_h[:, 0]) / nrm
+            sb = jnp.einsum("nsk,nk->ns", lines1, ends_h[:, 1]) / nrm
+            d = np.asarray(jnp.where(
+                sa * sb <= 0, 0.0, jnp.minimum(jnp.abs(sa), jnp.abs(sb))
+            ))
             med = np.median(d, axis=1)
             for th in (1e-4, 5e-4, 1e-3):
                 line_results[f"line_epi_prec@{th:.0e}"].append(

@@ -133,6 +133,7 @@ class GlueStick(BaseModel):
         "compat_score_tiling": False,  # replicate the reference EndPtEncoder
         # quirk of TILING line scores over endpoints (gluestick.py:507-514)
         # while endpoints themselves are interleaved
+        "inference_only": False,  # skip inter-supervision heads at eval
         "inter_supervision": None,  # list of layer indices with extra line
         # supervision heads (reference gluestick.py:371-455)
         "loss": {"nll_weight": 1.0, "line_nll_weight": 1.0,

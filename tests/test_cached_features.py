@@ -94,3 +94,45 @@ def test_cached_engine_generic_extractor_sift():
     pred = pipe.apply(params, batch)
     losses, _ = pipe.apply(params, pred, batch, method=pipe.loss)
     assert float(jnp.mean(losses["total"])) > 0
+
+
+def test_cached_engine_train_step():
+    """One real jitted engine train step with the CACHED-feature engine
+    (regression: the step used view0['image'] for the batch size, which the
+    cached engine does not serve)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from gluefactory_tpu.core.config import Config
+    from gluefactory_tpu.datasets import get_dataset
+    from gluefactory_tpu.models import build_model
+    from gluefactory_tpu.train import make_train_step
+
+    ds = get_dataset("homographies_ondevice_cached")({
+        "pool_size": 6, "val_pool_size": 4, "source_size": [160, 160],
+        "image_size": 128, "max_gt_points": 64,
+        "train_batch_size": 8, "val_batch_size": 8,
+        "features_from": {"max_num_keypoints": 64,
+                          "detection_threshold": 0.0, "batch": 4},
+    })
+    pool = {k: jnp.asarray(v) for k, v in ds.build_pool("train").items()}
+    model = build_model("two_view_pipeline", {
+        "extractor": {"name": None}, "allow_no_extract": True,
+        "matcher": {"name": "matchers.lightglue", "input_dim": 256,
+                    "n_layers": 2, "checkpointed": False},
+        "ground_truth": {"name": "matchers.homography_matcher"},
+        "run_gt_in_forward": True})
+    batch0 = ds.make_batch(pool, jax.random.key(0))
+    params = model.init(jax.random.key(0), batch0,
+                        method=model.forward_and_loss)
+    tx = optax.adam(1e-4)
+    opt_state = tx.init(params)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("data",))
+    step, _, repl = make_train_step(model, tx, mesh,
+                                    make_batch=ds.make_batch)
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+    _, _, scalars = step(params, opt_state, pool, 7)
+    assert np.isfinite(float(scalars["loss/total"]))
