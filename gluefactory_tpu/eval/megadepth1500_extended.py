@@ -81,15 +81,11 @@ class MegaDepth1500ExtendedPipeline(MegaDepth1500Pipeline):
             # the nearer endpoint's line distance (a point-to-point epipolar
             # residual would penalize correct matches whose detections cover
             # different extents of the same 3-D line)
-            lines1 = jnp.einsum(
-                "ij,nj->ni",
-                E,
-                jnp.concatenate([r0, jnp.ones_like(r0[:, :1])], -1),
-            ).reshape(n_m, n_samples, 3)
-            ends = cam1.image2cam(segs1.reshape(1, -1, 2))[0]
-            ends_h = jnp.concatenate(
-                [ends, jnp.ones_like(ends[:, :1])], -1
-            ).reshape(n_m, 2, 3)
+            # image2cam already returns homogeneous unit-depth rays
+            lines1 = jnp.einsum("ij,nj->ni", E, r0).reshape(
+                n_m, n_samples, 3)
+            ends_h = cam1.image2cam(
+                segs1.reshape(1, -1, 2))[0].reshape(n_m, 2, 3)
             nrm = jnp.linalg.norm(lines1[..., :2], axis=-1)
             sa = jnp.einsum("nsk,nk->ns", lines1, ends_h[:, 0]) / nrm
             sb = jnp.einsum("nsk,nk->ns", lines1, ends_h[:, 1]) / nrm
