@@ -69,6 +69,9 @@ def run_variant(variant: str) -> float:
     from __graft_entry__ import _flagship_conf
     from gluefactory_tpu.models import build_model
 
+    if variant == "matcher_only":
+        return _run_matcher_only()
+
     conf = _flagship_conf(tiny=False)
     if variant == "bf16":
         conf["extractor"]["dtype"] = "bf16"
@@ -113,6 +116,65 @@ def run_variant(variant: str) -> float:
     t0 = time.perf_counter()
     outs = [fwd_sum(params, WARMUP + i) for i in range(ITERS)]
     checks = [float(x) for x in outs]
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(c) for c in checks)
+    return BATCH * ITERS / dt
+
+
+def _run_matcher_only() -> float:
+    """LightGlue 9L @ 1024 kp on pre-extracted descriptors — the matcher
+    kernel's serving throughput (cached-feature / feature-store regime)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.models import build_model
+
+    model = build_model("matchers.lightglue", {
+        "checkpointed": False, "save_layer_outputs": False})
+    n = 1024
+
+    @jax.jit
+    def fwd_sum(params, seed):
+        key = jax.random.key(seed)
+        ks = jax.random.split(key, 4)
+        d0 = jax.random.normal(ks[0], (BATCH, n, 256))
+        d1 = jax.random.normal(ks[1], (BATCH, n, 256))
+        d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
+        d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
+        data = {
+            "keypoints0": jax.random.uniform(
+                ks[2], (BATCH, n, 2), maxval=float(IMAGE_SIZE)),
+            "keypoints1": jax.random.uniform(
+                ks[3], (BATCH, n, 2), maxval=float(IMAGE_SIZE)),
+            "descriptors0": d0, "descriptors1": d1,
+            "view0": {"image_size": jnp.full((BATCH, 2), float(IMAGE_SIZE))},
+            "view1": {"image_size": jnp.full((BATCH, 2), float(IMAGE_SIZE))},
+        }
+        pred = model.apply(params, data)
+        return jnp.sum(pred["matching_scores0"])
+
+    import numpy as np
+
+    params_key = jax.random.key(0)
+    # init needs one concrete batch (same structure as inside fwd_sum)
+    k = jax.random.key(123)
+    ks = jax.random.split(k, 4)
+    d0 = jax.random.normal(ks[0], (BATCH, n, 256))
+    data = {
+        "keypoints0": jax.random.uniform(ks[2], (BATCH, n, 2),
+                                         maxval=float(IMAGE_SIZE)),
+        "keypoints1": jax.random.uniform(ks[3], (BATCH, n, 2),
+                                         maxval=float(IMAGE_SIZE)),
+        "descriptors0": d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True),
+        "descriptors1": d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True),
+        "view0": {"image_size": jnp.full((BATCH, 2), float(IMAGE_SIZE))},
+        "view1": {"image_size": jnp.full((BATCH, 2), float(IMAGE_SIZE))},
+    }
+    model_params = model.init(params_key, data)
+    for i in range(WARMUP):
+        float(fwd_sum(model_params, i))
+    t0 = time.perf_counter()
+    checks = [float(fwd_sum(model_params, WARMUP + i)) for i in range(ITERS)]
     dt = time.perf_counter() - t0
     assert all(np.isfinite(c) for c in checks)
     return BATCH * ITERS / dt
@@ -188,7 +250,7 @@ def main():
             break
         time.sleep(90.0 * (attempt + 1))
     # --- extra variants (best-effort, never jeopardize the headline) -------
-    extra = ["bf16"]
+    extra = ["matcher_only", "bf16"]
     if os.environ.get("GFTPU_BENCH_PALLAS") == "1" or (
         backend == "tpu" and not os.environ.get("PALLAS_AXON_REMOTE_COMPILE")
     ):
@@ -210,7 +272,10 @@ def main():
             "attempts": attempts,
         }))
         os._exit(0)
-    best_name, best = max(variants.items(), key=lambda kv: kv[1]["pairs_per_s"])
+    pipeline_variants = {k: v for k, v in variants.items()
+                         if k != "matcher_only"}
+    best_name, best = max(
+        pipeline_variants.items(), key=lambda kv: kv[1]["pairs_per_s"])
     val = best["pairs_per_s"]
     print(json.dumps({
         "metric": f"sp+lightglue_pair_throughput_{backend}_{best_name}",
