@@ -395,12 +395,14 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
             }
             params = restore_from_flat_dict(params, flat)
         if fconf.get("on_host", False):
-            # host-callback extractors (sift/lsd: cv2 via pure_callback)
-            # should not round-trip a remote TPU tunnel; pin to CPU
-            cpu = jax.devices("cpu")[0]
-            apply_fn = jax.jit(extractor.apply, device=cpu)
-        else:
-            apply_fn = jax.jit(extractor.apply)
+            # host-callback extractors (sift/lsd via cv2 pure_callback)
+            # cannot even TRACE on the axon TPU backend ("does not support
+            # host send/recv callbacks") and a TPU-pinned process may have
+            # no CPU platform registered at all — shell out to a
+            # GFTPU_PLATFORM=cpu subprocess instead
+            return self._extract_on_host(split, base, ext_name, ext_conf,
+                                         fconf)
+        apply_fn = jax.jit(extractor.apply)
         kpts, descs, scores, valid = [], [], [], []
         size = jnp.asarray([[float(w), float(h)]], jnp.float32)
         for i in range(0, n, bs):
@@ -421,6 +423,47 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
             "keypoint_valid": np.concatenate(valid),
             "source_size": np.asarray([w, h], np.float32),
         }
+        self._pools[split] = pool
+        return pool
+
+    def _extract_on_host(self, split, base, ext_name, ext_conf, fconf):
+        import json
+        import os
+        import subprocess
+        import sys
+        import tempfile
+        from pathlib import Path
+
+        with tempfile.TemporaryDirectory() as td:
+            img_npz = Path(td) / "pool.npz"
+            out_npz = Path(td) / "feats.npz"
+            np.savez(img_npz, images=base["images"])
+            cmd = [
+                sys.executable, "-m",
+                "gluefactory_tpu.scripts.extract_pool_features",
+                "--images", str(img_npz), "--out", str(out_npz),
+                "--extractor", ext_name, "--conf", json.dumps(ext_conf),
+                "--batch", str(int(fconf.batch)),
+            ]
+            if fconf.experiment:
+                cmd += ["--experiment", str(fconf.experiment)]
+            env = {**os.environ, "GFTPU_PLATFORM": "cpu"}
+            res = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, timeout=3600,
+                cwd=str(Path(__file__).resolve().parents[2]),
+            )
+            if res.returncode != 0:
+                raise RuntimeError(
+                    f"host feature extraction failed: {res.stderr[-2000:]}")
+            blob = np.load(out_npz)
+            h, w = base["images"].shape[1:3]
+            pool = {
+                "keypoints": blob["keypoints"],
+                "descriptors": blob["descriptors"],
+                "keypoint_scores": blob["keypoint_scores"],
+                "keypoint_valid": blob["keypoint_valid"],
+                "source_size": np.asarray([w, h], np.float32),
+            }
         self._pools[split] = pool
         return pool
 
