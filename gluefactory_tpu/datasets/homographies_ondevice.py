@@ -377,6 +377,15 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
             k: v for k, v in fconf.to_dict().items()
             if k in known and k != "name"
         }
+        if fconf.get("on_host", False):
+            # host-callback extractors (sift/lsd via cv2 pure_callback)
+            # cannot even TRACE on the axon TPU backend ("does not support
+            # host send/recv callbacks") — this must run BEFORE any
+            # extractor.init — and a TPU-pinned process may have no CPU
+            # platform registered at all; shell out to a GFTPU_PLATFORM=cpu
+            # subprocess instead
+            return self._extract_on_host(split, base, ext_name, ext_conf,
+                                         fconf)
         extractor = build_model(ext_name, ext_conf)
         images = base["images"].astype(np.float32) / 255.0
         n, h, w = images.shape[:3]
@@ -394,14 +403,6 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
                 k.replace("['extractor']", ""): v for k, v in flat.items()
             }
             params = restore_from_flat_dict(params, flat)
-        if fconf.get("on_host", False):
-            # host-callback extractors (sift/lsd via cv2 pure_callback)
-            # cannot even TRACE on the axon TPU backend ("does not support
-            # host send/recv callbacks") and a TPU-pinned process may have
-            # no CPU platform registered at all — shell out to a
-            # GFTPU_PLATFORM=cpu subprocess instead
-            return self._extract_on_host(split, base, ext_name, ext_conf,
-                                         fconf)
         apply_fn = jax.jit(extractor.apply)
         kpts, descs, scores, valid = [], [], [], []
         size = jnp.asarray([[float(w), float(h)]], jnp.float32)
