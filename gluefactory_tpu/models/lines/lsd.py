@@ -51,6 +51,8 @@ class LSD(BaseModel):
     default_conf: ClassVar[dict] = {
         "max_num_lines": 250,
         "min_length": 15.0,
+        "describe": None,  # 'lbd' appends LBD line descriptors
+        "lbd": {"n_bands": 9, "band_width": 7.0, "n_samples": 32},
         "trainable": False,
     }
     required_data_keys: ClassVar[list] = ["image"]
@@ -83,7 +85,17 @@ class LSD(BaseModel):
             img_u8,
             vmap_method="sequential",
         )
-        return {"lines": lines, "line_scores": scores, "valid_lines": valid}
+        pred = {"lines": lines, "line_scores": scores, "valid_lines": valid}
+        if self.conf.describe == "lbd":
+            from .lbd import lbd_describe
+
+            pred["line_descriptors"] = lbd_describe(
+                image, lines, valid,
+                n_bands=int(self.conf.lbd.n_bands),
+                band_width=float(self.conf.lbd.band_width),
+                n_samples=int(self.conf.lbd.n_samples),
+            )
+        return pred
 
     def loss(self, pred, data):
         raise NotImplementedError

@@ -45,10 +45,31 @@ def point_on_line_residual(segs0: jnp.ndarray, l1: jnp.ndarray, H: jnp.ndarray):
 
 
 def joint_dlt(pts0, pts1, w_pts, segs0, l1, w_lines):
-    """Weighted DLT over point correspondences + endpoint-on-line rows."""
+    """Weighted DLT over point correspondences + endpoint-on-line rows.
+
+    Hartley normalization of view 0 uses points AND selected line
+    endpoints (so line-only hypotheses stay conditioned); view 1 falls
+    back to the identity frame when no point carries weight (its line
+    rows transform contravariantly through T1 either way)."""
     dtype = jnp.float32
-    p0n, T0 = _normalize_pts(pts0.astype(dtype), w_pts.astype(dtype))
-    p1n, T1 = _normalize_pts(pts1.astype(dtype), w_pts.astype(dtype))
+    pts0 = pts0.astype(dtype)
+    pts1 = pts1.astype(dtype)
+    w_pts = w_pts.astype(dtype)
+    w_lines = w_lines.astype(dtype)
+    ends0 = segs0.reshape(*segs0.shape[:-3], -1, 2).astype(dtype)
+    wl2_n = jnp.repeat(w_lines, 2, axis=-1)
+    _, T0 = _normalize_pts(
+        jnp.concatenate([pts0, ends0], axis=-2),
+        jnp.concatenate([w_pts, wl2_n], axis=-1),
+    )
+    p1n_pts, T1_pts = _normalize_pts(pts1, w_pts)
+    has_pts = (jnp.sum(w_pts, axis=-1) > 0.5)[..., None, None]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), T1_pts.shape)
+    T1 = jnp.where(has_pts, T1_pts, eye)
+    p0n = jnp.einsum(
+        "...ij,...nj->...ni", T0, to_homogeneous(pts0))[..., :2]
+    p1n = jnp.einsum(
+        "...ij,...nj->...ni", T1, to_homogeneous(pts1))[..., :2]
     x0, y0 = p0n[..., 0], p0n[..., 1]
     x1, y1 = p1n[..., 0], p1n[..., 1]
     z = jnp.zeros_like(x0)
@@ -83,10 +104,29 @@ def hybrid_ransac_homography(
     th: float, line_th: float, num_hypotheses: int = 1024, lo_iters: int = 4,
 ):
     l1 = line_coeffs(segs1)
-    logits = jnp.where(valid_pts, 0.0, -1e9)
+    n, m = kpts0.shape[0], segs0.shape[0]
+    # minimal sets are sampled from the UNION of point and line
+    # correspondences (each unit contributes 2 DLT rows), so line-only and
+    # mixed hypotheses work — a point-only sampler crashes with zero points
+    # and can never estimate from segments alone
+    unit_logits = jnp.concatenate(
+        [jnp.where(valid_pts, 0.0, -1e9), jnp.where(valid_lines, 0.0, -1e9)]
+    )
     keys = jax.random.split(key, num_hypotheses)
-    sample_idx = jax.vmap(lambda k: jax.random.categorical(k, logits, shape=(4,)))(keys)
-    H = compute_homography(kpts0[sample_idx], kpts1[sample_idx])
+    sample_idx = jax.vmap(
+        lambda k: jax.random.categorical(k, unit_logits, shape=(4,))
+    )(keys)  # (K, 4) indices into points ++ lines
+    onehot = jax.nn.one_hot(sample_idx, n + m).sum(axis=1)  # (K, n+m)
+    wp = onehot[:, :n]
+    wl = onehot[:, n:]
+    H = joint_dlt(
+        jnp.broadcast_to(kpts0, (num_hypotheses, n, 2)),
+        jnp.broadcast_to(kpts1, (num_hypotheses, n, 2)),
+        wp,
+        jnp.broadcast_to(segs0, (num_hypotheses, m, 2, 2)),
+        jnp.broadcast_to(l1, (num_hypotheses, m, 3)),
+        wl,
+    )
     p_err = sym_homography_error(kpts0[None], kpts1[None], H)
     p_err = jnp.nan_to_num(jnp.where(valid_pts[None], p_err, jnp.inf), nan=jnp.inf)
     l_err = point_on_line_residual(segs0[None], l1[None], H)

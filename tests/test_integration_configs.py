@@ -37,6 +37,7 @@ CONFIGS = [
     "keynet+nn",
     "loftr_homography",
     "sold2+wunsch",
+    "lsd+lbd",
 ]
 
 SMALL_OVERRIDES = {
@@ -88,6 +89,7 @@ SMALL_OVERRIDES = {
     "sift+nn": {"extractor": {"max_num_keypoints": 64}},
     "superpoint_open+nn": {"extractor": {"max_num_keypoints": 64}},
     "keynet+nn": {"extractor": {"max_num_keypoints": 48, "pyramid_levels": 2}},
+    "lsd+lbd": {"extractor": {"max_num_lines": 64}},
     "sold2+wunsch": {"extractor": {
         "channels": [8, 16, 24], "descriptor_dim": 16,
         "max_num_junctions": 32, "max_num_lines": 64,

@@ -196,3 +196,38 @@ def test_five_point_beats_eight_point_at_low_inlier_ratio():
             errs[name].append(max(float(r_err), float(t_err)))
     assert np.median(errs["5pt"]) <= max(np.median(errs["8pt"]), 2.0), errs
     assert np.median(errs["5pt"]) < 4.0, errs
+
+
+def test_hybrid_ransac_line_only():
+    """Homography recovery from line correspondences ALONE (no points) —
+    the mixed minimal-set sampler must handle an empty point set."""
+    rng_l = np.random.default_rng(17)
+    H_gt = np.array([[1.05, 0.08, 6.0], [-0.06, 0.97, -4.0],
+                     [1e-4, -8e-5, 1.0]], np.float32)
+    L = 24
+    p0 = rng_l.uniform(20, 200, (L, 2)).astype(np.float32)
+    ang = rng_l.uniform(0, np.pi, L)
+    d = np.stack([np.cos(ang), np.sin(ang)], -1) * rng_l.uniform(
+        30, 80, (L, 1))
+    segs0 = np.stack([p0, p0 + d], axis=1)
+    from gluefactory_tpu.geometry.homography import warp_points_np
+
+    segs1 = warp_points_np(segs0.reshape(-1, 2), H_gt).reshape(L, 2, 2)
+    segs1 += rng_l.normal(0, 0.3, segs1.shape)
+    # 25% outliers
+    n_out = L // 4
+    segs1[:n_out] = rng_l.uniform(0, 220, (n_out, 2, 2))
+
+    est = load_estimator("homography", "hybrid_ransac")(
+        {"ransac_th": 3.0, "line_th": 3.0, "num_hypotheses": 1024})
+    out = est({
+        "m_kpts0": jnp.zeros((0, 2), jnp.float32),
+        "m_kpts1": jnp.zeros((0, 2), jnp.float32),
+        "m_lines0": jnp.asarray(segs0),
+        "m_lines1": jnp.asarray(segs1),
+    })
+    from gluefactory_tpu.geometry.homography import homography_corner_error
+
+    err = float(np.asarray(homography_corner_error(
+        out["M_0to1"], jnp.asarray(H_gt), jnp.asarray([220.0, 220.0]))))
+    assert err < 6.0, err  # line-only H extrapolated to corners: ~4 px at this noise
