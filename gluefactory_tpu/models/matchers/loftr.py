@@ -45,6 +45,13 @@ from ..base_model import BaseModel
 # backbone
 
 
+def _gn(channels: int, name: str) -> nn.GroupNorm:
+    """GroupNorm with the largest group count <=8 that divides `channels`
+    (the official width 196 is not divisible by 8; gcd keeps every conf
+    valid while matching 8 groups wherever the width allows)."""
+    return nn.GroupNorm(num_groups=math.gcd(8, channels), name=name)
+
+
 class ResBlock(nn.Module):
     features: int
     stride: int = 1
@@ -53,15 +60,15 @@ class ResBlock(nn.Module):
     def __call__(self, x):
         y = nn.Conv(self.features, (3, 3), (self.stride,) * 2,
                     padding=[(1, 1), (1, 1)], use_bias=False, name="c1")(x)
-        y = nn.GroupNorm(num_groups=8, name="n1")(y)
+        y = _gn(self.features, "n1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
                     use_bias=False, name="c2")(y)
-        y = nn.GroupNorm(num_groups=8, name="n2")(y)
+        y = _gn(self.features, "n2")(y)
         if self.stride != 1 or x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1), (self.stride,) * 2,
                         use_bias=False, name="proj")(x)
-            x = nn.GroupNorm(num_groups=8, name="nproj")(x)
+            x = _gn(self.features, "nproj")(x)
         return nn.relu(x + y)
 
 
@@ -78,7 +85,7 @@ class ResNetFPN(nn.Module):
         d1, d2, d3 = self.block_dims
         x = nn.Conv(self.initial_dim, (7, 7), (2, 2),
                     padding=[(3, 3), (3, 3)], use_bias=False, name="stem")(x)
-        x = nn.GroupNorm(num_groups=8, name="stem_n")(x)
+        x = _gn(self.initial_dim, "stem_n")(x)
         x = nn.relu(x)
         c1 = ResBlock(d1, name="l1b")(ResBlock(d1, name="l1a")(x))  # 1/2
         c2 = ResBlock(d2, name="l2b")(
