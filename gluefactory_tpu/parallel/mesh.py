@@ -22,8 +22,17 @@ def maybe_init_distributed():
     """Initialize jax.distributed from standard env vars when present
     (coordinator address set => multi-host launch)."""
     if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        kwargs = {}
+        # explicit contract of scripts/launch_multihost.py; on real TPU pods
+        # these are absent and jax auto-detects from the cluster environment
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
             logger.info(
                 "jax.distributed initialized: process %d/%d",
                 jax.process_index(), jax.process_count(),

@@ -95,7 +95,19 @@ def save_experiment(
     cp_name: str | None = None,
     keep_last: int = 5,
 ) -> float | None:
-    """(reference experiments.py:95-134)"""
+    """(reference experiments.py:95-134)
+
+    Multi-host: only process 0 touches the filesystem (the reference saves
+    on rank 0, train.py:559); every process still computes the updated
+    ``best_eval`` so cross-host control flow stays in lockstep."""
+    import jax
+
+    best_key = conf.get("train.best_key", "loss/total") or "loss/total"
+    cur = (eval_results or {}).get(best_key)
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        if cur is not None and (best_eval is None or cur < best_eval):
+            best_eval = float(cur)
+        return best_eval
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     if cp_name is None:
@@ -112,8 +124,6 @@ def save_experiment(
     path = output_dir / cp_name
     path.write_bytes(flax.serialization.msgpack_serialize(blob))
     (output_dir / "config.yaml").write_text(yaml.safe_dump(conf.to_dict(), sort_keys=False))
-    best_key = conf.get("train.best_key", "loss/total") or "loss/total"
-    cur = (eval_results or {}).get(best_key)
     if cur is not None and (best_eval is None or cur < best_eval):
         best_eval = float(cur)
         shutil.copy(path, output_dir / "checkpoint_best.ckpt")

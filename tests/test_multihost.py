@@ -94,3 +94,62 @@ def test_two_process_global_mesh(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out[-3000:]}"
         assert f"OK process {i}" in out, out[-2000:]
+
+
+TINY_MH_CONF = """
+data:
+  name: homographies
+  synthetic: true
+  synthetic_size: 16
+  synthetic_source_size: [160, 120]
+  image_size: 64
+  train_batch_size: 4
+  val_batch_size: 4
+  num_workers: 2
+  val_size: 4
+model:
+  name: two_view_pipeline
+  extractor:
+    name: extractors.superpoint
+    max_num_keypoints: 32
+    detection_threshold: 0.0
+    channels: [8, 8, 16]
+    descriptor_dim: 16
+  matcher:
+    name: matchers.lightglue
+    input_dim: 16
+    descriptor_dim: 32
+    n_layers: 1
+    num_heads: 2
+  ground_truth:
+    name: matchers.homography_matcher
+  run_gt_in_forward: true
+train:
+  seed: 0
+  epochs: 1
+  lr: 1.0e-4
+  log_every_iter: 2
+  eval_every_iter: 4
+  num_steps_per_epoch: 4
+"""
+
+
+def test_multihost_launcher_cli(tmp_path):
+    """scripts/launch_multihost drives the FULL train CLI across 2 simulated
+    hosts (jpl_scripts-launcher equivalence): per-host loader shards, synced
+    gradients, and checkpoints written by process 0 only."""
+    conf = tmp_path / "tiny.yaml"
+    conf.write_text(TINY_MH_CONF)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["GFTPU_TRAINING_PATH"] = str(tmp_path / "out")
+    proc = subprocess.run(
+        [sys.executable, "-m", "gluefactory_tpu.scripts.launch_multihost",
+         "--local", "2", "--devices_per_host", "2", "--",
+         "mh_cli", "--conf", str(conf), "--no_log_capture"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    exp = tmp_path / "out" / "mh_cli"
+    ckpts = list(exp.glob("checkpoint_*.ckpt"))
+    assert ckpts, f"no checkpoints in {exp}"
