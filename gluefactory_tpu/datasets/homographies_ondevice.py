@@ -448,6 +448,15 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
             ]
             if fconf.experiment:
                 cmd += ["--experiment", str(fconf.experiment)]
+            if fconf.get("weights"):
+                from ..settings import WEIGHTS_PATH
+
+                wpath = Path(str(fconf.weights))
+                if not wpath.exists():
+                    wpath = WEIGHTS_PATH / str(fconf.weights)
+                cmd += ["--weights", str(wpath)]
+            if fconf.get("remap"):
+                cmd += ["--remap", str(fconf.remap)]
             env = {**os.environ, "GFTPU_PLATFORM": "cpu"}
             res = subprocess.run(
                 cmd, env=env, capture_output=True, text=True, timeout=3600,
@@ -458,13 +467,8 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
                     f"host feature extraction failed: {res.stderr[-2000:]}")
             blob = np.load(out_npz)
             h, w = base["images"].shape[1:3]
-            pool = {
-                "keypoints": blob["keypoints"],
-                "descriptors": blob["descriptors"],
-                "keypoint_scores": blob["keypoint_scores"],
-                "keypoint_valid": blob["keypoint_valid"],
-                "source_size": np.asarray([w, h], np.float32),
-            }
+            pool = {k: blob[k] for k in blob.files}
+            pool["source_size"] = np.asarray([w, h], np.float32)
         self._pools[split] = pool
         return pool
 
@@ -525,3 +529,119 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
             "H_0to1": H1 @ jnp.linalg.inv(H0),
         }
 
+
+
+class OnDeviceCachedWireframeDataset(OnDeviceCachedFeatureDataset):
+    """Cached-WIREFRAME variant for GlueStick training on the tunnel: the
+    pool holds full wireframe features (junction+keypoint nodes, node
+    descriptors, line segments, ``lines_junc_idx``) extracted ONCE on the
+    host (lines.wireframe = SuperPoint dense + LSD + junction clustering —
+    LSD is a cv2 host callback, untraceable on the axon backend), and each
+    jitted step warps node positions AND line endpoints analytically by the
+    sampled homographies. A homography preserves the incidence structure,
+    so the cached ``lines_junc_idx`` topology is exact in every view; crop
+    masks give partial visibility, desc noise/dropout decorrelate the
+    views. The train step contains only the GlueStick matcher.
+
+    (Reference recipe equivalence: gluestick training with cached features,
+    gluefactory configs/gluestick_*; here TPU-first via the HBM-pool
+    engine.)"""
+
+    default_conf: ClassVar[dict] = {
+        **OnDeviceCachedFeatureDataset.default_conf,
+        "name": "homographies_ondevice_cached_wireframe",
+        "features_from": {
+            "name": "lines.wireframe",
+            "on_host": True,  # LSD host callback
+            "batch": 8,
+            "experiment": None,
+            "weights": None,  # e.g. sp_tpu_stage0b.f16.msgpack
+            "remap": "['extractor']=['point_extractor']",
+            "point_extractor": {
+                "name": "extractors.superpoint",
+                "max_num_keypoints": 256,
+                "detection_threshold": 0.0005,
+                "dense_outputs": True,
+                "trainable": False,
+            },
+            "line_extractor": {"name": "lines.lsd", "max_num_lines": 96},
+            "nms_radius": 3.0,
+        },
+    }
+
+    def make_batch(self, pool: dict, key: jax.Array, split: str = "train") -> dict:
+        conf = self.conf
+        bsz = int(conf.val_batch_size if split == "val" else conf.train_batch_size)
+        s = int(conf.image_size)
+        ws, hs = (float(x) for x in conf.source_size)
+        m = pool["keypoints"].shape[0]
+        (k_idx, k_h0, k_h1, k_n0, k_n1, k_d0, k_d1) = jax.random.split(key, 7)
+        idx = jax.random.randint(k_idx, (bsz,), 0, m)
+        kp_src = pool["keypoints"][idx]          # (B, N, 2) junctions+kps
+        desc = pool["descriptors"][idx].astype(jnp.float32)
+        sc = pool["keypoint_scores"][idx]
+        kv = pool["keypoint_valid"][idx]
+        lines_src = pool["lines"][idx]           # (B, L, 2, 2)
+        lsc = pool["line_scores"][idx]
+        lv = pool["valid_lines"][idx]
+        ljidx = pool["lines_junc_idx"][idx]      # (B, 2L)
+
+        hconf = conf.homography
+        H0, _ = sample_homography_batch(
+            k_h0, bsz, (int(ws), int(hs)), (s, s),
+            difficulty=float(hconf.difficulty) * (0.3 if conf.right_only else 1.0),
+            translation=float(hconf.translation),
+            max_angle=float(hconf.max_angle) * (0.3 if conf.right_only else 1.0),
+        )
+        H1, _ = sample_homography_batch(
+            k_h1, bsz, (int(ws), int(hs)), (s, s),
+            difficulty=float(hconf.difficulty),
+            translation=float(hconf.translation),
+            max_angle=float(hconf.max_angle),
+        )
+
+        def view(H, k_noise, k_drop):
+            kp = warp_points(kp_src, H)
+            inside = (
+                (kp[..., 0] >= 0.0) & (kp[..., 0] <= s - 1.0)
+                & (kp[..., 1] >= 0.0) & (kp[..., 1] <= s - 1.0)
+            )
+            b, L = lines_src.shape[:2]
+            eps = warp_points(lines_src.reshape(b, 2 * L, 2), H)
+            ep_in = (
+                (eps[..., 0] >= 0.0) & (eps[..., 0] <= s - 1.0)
+                & (eps[..., 1] >= 0.0) & (eps[..., 1] <= s - 1.0)
+            ).reshape(b, L, 2)
+            lines = eps.reshape(b, L, 2, 2)
+            d = desc + float(conf.desc_noise) * jax.random.normal(
+                k_noise, desc.shape
+            )
+            d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-8)
+            drop = jax.random.bernoulli(
+                k_drop, float(conf.desc_dropout), kv.shape
+            )
+            node_valid = kv & inside & ~drop
+            # a line is only servable if BOTH its junction nodes survive the
+            # crop/dropout — otherwise its gathered assignment score is the
+            # mask value and a GT-positive there explodes the NLL
+            ep_nodes = jnp.take_along_axis(node_valid, ljidx, axis=1)
+            junc_ok = ep_nodes.reshape(b, L, 2).all(-1)
+            return {
+                "cache": {
+                    "keypoints": kp,
+                    "descriptors": d,
+                    "keypoint_scores": sc,
+                    "keypoint_valid": node_valid,
+                    "lines": lines,
+                    "line_scores": lsc,
+                    "valid_lines": lv & ep_in.all(-1) & junc_ok,
+                    "lines_junc_idx": ljidx,
+                },
+                "image_size": jnp.full((bsz, 2), float(s), jnp.float32),
+            }
+
+        return {
+            "view0": view(H0, k_n0, k_d0),
+            "view1": view(H1, k_n1, k_d1),
+            "H_0to1": H1 @ jnp.linalg.inv(H0),
+        }

@@ -67,6 +67,12 @@ class WireframeExtractor(BaseModel):
         # junction score: max member line score (approx by weighted mean here)
         junc_scores, _ = cluster_means(ep_w[..., None], ep_valid.astype(ep_w.dtype), labels)
         junc_scores = junc_scores[..., 0]
+        # snap line endpoints to their junction positions so the node set and
+        # the segment geometry agree exactly (reference wireframe.py rebuilds
+        # lines from junctions after clustering)
+        lines = jnp.take_along_axis(
+            junctions, lines_junc_idx[..., None].astype(jnp.int32).repeat(2, -1), axis=1
+        ).reshape(b, L, 2, 2)
 
         # --- 2. mask keypoints near junctions/endpoints --------------------
         d2 = jnp.sum(

@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--conf", default="{}")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--experiment", default=None)
+    ap.add_argument("--weights", default=None,
+                    help="committed f16 weight blob (scripts/export_weights)")
+    ap.add_argument("--remap", default=None,
+                    help="flat-key prefix rewrite OLD=NEW, e.g. "
+                         "\"['extractor']=['point_extractor']\" to load a "
+                         "pipeline-extractor blob into a wireframe submodel")
     args = ap.parse_args()
 
     import jax
@@ -56,8 +62,20 @@ def main():
         flat = {k.replace("['extractor']", ""): v
                 for k, v in ckpt["state"]["params"].items()}
         params = restore_from_flat_dict(params, flat)
+    if args.weights:
+        from gluefactory_tpu.scripts.export_weights import load_weight_blob
+        from gluefactory_tpu.utils.experiments import restore_from_flat_dict
+
+        flat, _, _ = load_weight_blob(args.weights)
+        if args.remap:
+            old, new = args.remap.split("=", 1)
+            flat = {k.replace(old, new): v for k, v in flat.items()
+                    if k.startswith(old)}
+        params = restore_from_flat_dict(params, flat)
     apply_fn = jax.jit(extractor.apply)
-    kpts, descs, scores, valid = [], [], [], []
+    # collect every batched array output (keypoints/descriptors/lines/
+    # lines_junc_idx/... — whatever this extractor family emits)
+    out: dict[str, list] = {}
     for i in range(0, n, args.batch):
         chunk = jnp.asarray(images[i: i + args.batch])
         pred = apply_fn(
@@ -65,18 +83,17 @@ def main():
             {"image": chunk,
              "image_size": jnp.broadcast_to(size, (chunk.shape[0], 2))},
         )
-        kpts.append(np.asarray(pred["keypoints"]))
-        descs.append(np.asarray(pred["descriptors"], np.float16))
-        scores.append(np.asarray(pred["keypoint_scores"]))
-        valid.append(np.asarray(pred["keypoint_valid"]))
-    np.savez(
-        args.out,
-        keypoints=np.concatenate(kpts),
-        descriptors=np.concatenate(descs),
-        keypoint_scores=np.concatenate(scores),
-        keypoint_valid=np.concatenate(valid),
-    )
-    print(f"extracted {n} pool images -> {args.out}")
+        for k, v in pred.items():
+            if k.endswith("_dense") or not hasattr(v, "shape"):
+                continue  # dense maps are huge and re-derivable
+            if v.ndim == 0 or v.shape[0] != chunk.shape[0]:
+                continue
+            arr = np.asarray(v)
+            if k == "descriptors":
+                arr = arr.astype(np.float16)
+            out.setdefault(k, []).append(arr)
+    np.savez(args.out, **{k: np.concatenate(v) for k, v in out.items()})
+    print(f"extracted {n} pool images ({sorted(out)}) -> {args.out}")
 
 
 if __name__ == "__main__":

@@ -136,3 +136,54 @@ def test_cached_engine_train_step():
     opt_state = jax.device_put(opt_state, repl)
     _, _, scalars = step(params, opt_state, pool, 7)
     assert np.isfinite(float(scalars["loss/total"]))
+
+
+def test_cached_wireframe_engine_gluestick():
+    """Cached-WIREFRAME engine (host SP+LSD wireframe pool, in-jit warp of
+    nodes AND line endpoints) feeding a matcher-only GlueStick step.
+    Invariant: warped line endpoints == warped nodes gathered at
+    lines_junc_idx (homographies preserve incidence)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.datasets import get_dataset
+    from gluefactory_tpu.models import build_model
+
+    ds = get_dataset("homographies_ondevice_cached_wireframe")({
+        "pool_size": 6, "val_pool_size": 4, "source_size": [160, 160],
+        "image_size": 128, "train_batch_size": 4, "val_batch_size": 4,
+        "features_from": {
+            "name": "lines.wireframe", "on_host": True, "batch": 4,
+            "point_extractor": {"name": "extractors.superpoint",
+                                "max_num_keypoints": 48,
+                                "detection_threshold": 0.0,
+                                "dense_outputs": True, "trainable": False},
+            "line_extractor": {"name": "lines.lsd", "max_num_lines": 24},
+            "nms_radius": 3.0,
+        },
+    })
+    pool = {k: jnp.asarray(v) for k, v in ds.build_pool("train").items()}
+    assert "lines" in pool and "lines_junc_idx" in pool
+    batch = ds.make_batch(pool, jax.random.key(0))
+    c0 = batch["view0"]["cache"]
+    b, L = c0["lines"].shape[:2]
+    eps = jnp.take_along_axis(
+        c0["keypoints"], c0["lines_junc_idx"][..., None].repeat(2, -1), axis=1
+    ).reshape(b, L, 2, 2)
+    vl = np.asarray(c0["valid_lines"])
+    err = np.asarray(jnp.abs(eps - c0["lines"]).max(axis=(-1, -2)))
+    if vl.any():
+        assert err[vl].max() < 1e-3
+
+    pipe = build_model("two_view_pipeline", {
+        "extractor": {"name": None}, "allow_no_extract": True,
+        "matcher": {"name": "matchers.gluestick", "input_dim": 256,
+                    "descriptor_dim": 256, "n_layers": 2,
+                    "inter_supervision": [1]},
+        "ground_truth": {"name": "matchers.homography_matcher",
+                         "use_lines": True},
+        "run_gt_in_forward": True})
+    params = pipe.init(jax.random.key(0), batch)
+    pred = pipe.apply(params, batch)
+    losses, _ = pipe.apply(params, pred, batch, method=pipe.loss)
+    assert np.isfinite(float(jnp.mean(losses["total"])))
