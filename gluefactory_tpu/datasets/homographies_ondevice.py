@@ -356,11 +356,48 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
         },
         "desc_noise": 0.05,
         "desc_dropout": 0.05,
+        "pool_cache": True,  # persist extracted pools to disk so the
+        # resilient-train restart loop (tunnel outages) skips re-extraction
     }
+
+    def _pool_cache_path(self, split: str):
+        if not self.conf.get("pool_cache", True):
+            return None
+        import hashlib
+        import json
+
+        from ..settings import DATA_PATH
+
+        keys = ["pool_size", "val_pool_size", "source_size", "seed",
+                "data_dir", "glob", "max_gt_points", "features_from"]
+        spec = {k: self.conf.get(k) for k in keys}
+        spec = {k: (v.to_dict() if hasattr(v, "to_dict") else v)
+                for k, v in spec.items()}
+        spec["split"] = split
+        h = hashlib.sha1(
+            json.dumps(spec, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+        d = DATA_PATH / "engine_pool_cache"
+        d.mkdir(parents=True, exist_ok=True)
+        return d / f"{type(self).__name__}_{h}.npz"
 
     def build_pool(self, split: str = "train") -> dict:
         if split in self._pools:
             return self._pools[split]
+        cpath = self._pool_cache_path(split)
+        if cpath is not None and cpath.exists():
+            blob = np.load(cpath)
+            pool = {k: blob[k] for k in blob.files}
+            self._pools[split] = pool
+            return pool
+        pool = self._build_pool_uncached(split)
+        if cpath is not None:
+            tmp = cpath.with_suffix(".tmp.npz")
+            np.savez(tmp, **pool)
+            tmp.replace(cpath)
+        return pool
+
+    def _build_pool_uncached(self, split: str = "train") -> dict:
         import jax
 
         from ..models import build_model

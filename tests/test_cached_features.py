@@ -74,7 +74,7 @@ def test_cached_engine_generic_extractor_sift():
 
     ds = get_dataset("homographies_ondevice_cached")({
         "pool_size": 6, "val_pool_size": 4, "source_size": [160, 160],
-        "image_size": 128, "max_gt_points": 64,
+        "image_size": 128, "max_gt_points": 64, "pool_cache": False,
         "train_batch_size": 4, "val_batch_size": 4,
         "features_from": {"name": "extractors.sift",
                           "max_num_keypoints": 64,
@@ -112,7 +112,7 @@ def test_cached_engine_train_step():
 
     ds = get_dataset("homographies_ondevice_cached")({
         "pool_size": 6, "val_pool_size": 4, "source_size": [160, 160],
-        "image_size": 128, "max_gt_points": 64,
+        "image_size": 128, "max_gt_points": 64, "pool_cache": False,
         "train_batch_size": 8, "val_batch_size": 8,
         "features_from": {"max_num_keypoints": 64,
                           "detection_threshold": 0.0, "batch": 4},
@@ -151,7 +151,8 @@ def test_cached_wireframe_engine_gluestick():
 
     ds = get_dataset("homographies_ondevice_cached_wireframe")({
         "pool_size": 6, "val_pool_size": 4, "source_size": [160, 160],
-        "image_size": 128, "train_batch_size": 4, "val_batch_size": 4,
+        "image_size": 128, "pool_cache": False,
+        "train_batch_size": 4, "val_batch_size": 4,
         "features_from": {
             "name": "lines.wireframe", "on_host": True, "batch": 4,
             "point_extractor": {"name": "extractors.superpoint",
@@ -187,3 +188,29 @@ def test_cached_wireframe_engine_gluestick():
     pred = pipe.apply(params, batch)
     losses, _ = pipe.apply(params, pred, batch, method=pipe.loss)
     assert np.isfinite(float(jnp.mean(losses["total"])))
+
+
+def test_pool_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """The engine's pool disk cache: second build with the same conf loads
+    from npz (no re-extraction); different conf gets a different key."""
+    import gluefactory_tpu.settings as settings
+    from gluefactory_tpu.datasets import get_dataset
+
+    monkeypatch.setattr(settings, "DATA_PATH", tmp_path)
+    conf = {
+        "pool_size": 4, "val_pool_size": 2, "source_size": [160, 160],
+        "image_size": 128, "max_gt_points": 32,
+        "features_from": {"max_num_keypoints": 32,
+                          "detection_threshold": 0.0, "batch": 4},
+    }
+    ds = get_dataset("homographies_ondevice_cached")(conf)
+    pool = ds.build_pool("train")
+    files = list((tmp_path / "engine_pool_cache").glob("*.npz"))
+    assert len(files) == 1
+    ds2 = get_dataset("homographies_ondevice_cached")(conf)
+    pool2 = ds2.build_pool("train")
+    np.testing.assert_array_equal(pool["keypoints"], pool2["keypoints"])
+    # a different pool conf must not hit the same cache entry
+    ds3 = get_dataset("homographies_ondevice_cached")(
+        {**conf, "pool_size": 5})
+    assert ds3._pool_cache_path("train") != ds._pool_cache_path("train")
