@@ -133,9 +133,16 @@ def save_experiment(
 
 
 def load_experiment(exp_or_path: str | Path, best: bool = False) -> tuple[dict, Config]:
-    """Load a checkpoint by experiment name or direct path
+    """Load a checkpoint by experiment name, direct .ckpt path, or a
+    committed weight blob (weights/*.f16.msgpack, see scripts/export_weights)
     (reference experiments.py:65-93). Returns (blob, conf)."""
     path = Path(exp_or_path)
+    if path.suffix == ".msgpack":
+        from ..scripts.export_weights import load_weight_blob
+
+        flat, model_conf, meta = load_weight_blob(path)
+        blob = {"state": {"params": flat}, **meta}
+        return blob, Config({"model": model_conf}) if model_conf else Config()
     if path.suffix != ".ckpt":
         path = get_best_checkpoint(str(exp_or_path)) if best else get_last_checkpoint(str(exp_or_path))
     blob = flax.serialization.msgpack_restore(path.read_bytes())
