@@ -282,8 +282,14 @@ class LoFTR(BaseModel):
             w0n = lc(w0, w1)
             w1 = lc(w1, w0)
             w0 = w0n
+        # L2-normalized correlation: raw fine features reach ~1e7 dot
+        # products, saturating the softmax to one-hot and killing the
+        # gradient into the fine branch (observed fine grad-norms ~1e-9).
         center = w0[:, (w * w) // 2]
-        sim = jnp.einsum("nd,nsd->ns", center, w1) / (w1.shape[-1] ** 0.5)
+        center = center / jnp.maximum(
+            jnp.linalg.norm(center, axis=-1, keepdims=True), 1e-6)
+        w1n = w1 / jnp.maximum(jnp.linalg.norm(w1, axis=-1, keepdims=True), 1e-6)
+        sim = jnp.einsum("nd,nsd->ns", center, w1n) / float(self.conf.temperature)
         prob = jax.nn.softmax(sim, axis=-1)
         exp = prob @ offs.astype(jnp.float32)  # (n, (dy, dx)) in fine cells
         delta = jnp.stack([exp[:, 1], exp[:, 0]], -1) * 2.0  # full-res px

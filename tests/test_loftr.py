@@ -49,6 +49,37 @@ def test_loftr_forward_contract():
     assert (sc[v] > 0).all() and (sc[~v] == 0).all()
 
 
+def test_loftr_fine_branch_gradients_flow():
+    """The fine-window correlation must stay in a healthy softmax regime:
+    unnormalized features previously produced ~1e7 logits, a one-hot
+    softmax, and exactly-zero gradients into the fine transformer
+    (observed as fine grad-norms ~1e-9 over an entire 6k-step run)."""
+    model = build_model("matchers.loftr", TINY)
+    data = _pair()
+    params = model.init(jax.random.key(2), data)
+    # inflate fine features to the magnitudes seen in real training
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, v: v * 50.0
+        if any("fine_proj" in str(p) for p in path) and v.ndim == 2 else v,
+        params,
+    )
+
+    def loss_fn(p):
+        pred = model.apply(p, data)
+        losses, _ = model.apply(p, pred, data, method=model.loss)
+        return jnp.mean(losses["fine_l2"])
+
+    grads = jax.grad(loss_fn)(params)
+    gflat = jax.tree_util.tree_leaves_with_path(grads)
+    fine_sq = sum(
+        float(jnp.sum(v**2))
+        for path, v in gflat
+        if any(s in str(p) for p in path for s in ("fself", "fcross", "fine_proj"))
+    )
+    assert np.isfinite(fine_sq)
+    assert fine_sq > 1e-10, f"fine branch gradient vanished: {fine_sq}"
+
+
 def test_loftr_overfit_identity():
     """A few gradient steps on an identical pair must pull the coarse
     confidence onto the diagonal; refined kp1 converge to kp0."""
