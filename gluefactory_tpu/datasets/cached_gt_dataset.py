@@ -35,6 +35,11 @@ class CachedGTDataset(BaseDataset):
         "photometric": {"name": "lg", "p": 0.5},
         "val_size": 100,
         "train_batch_size": 4,
+        # scene-list splits (reference minidepth.py train/val_scenes_file_path:
+        # a txt of top-level scene dirs per split; when set, they override the
+        # positional val_size split)
+        "train_scenes_file": None,
+        "val_scenes_file": None,
     }
 
     def _init(self, conf):
@@ -59,6 +64,22 @@ class CachedGTDataset(BaseDataset):
             raise FileNotFoundError("no images with cached GT found")
         self.preprocessor = ImagePreprocessor(conf.preprocessing.to_dict())
         self.photometric = augmentations[conf.photometric.name]()
+        self.scene_splits = {
+            split: self._read_scenes(conf.get(f"{split}_scenes_file"))
+            for split in ("train", "val")
+        }
+
+    def _read_scenes(self, scenes_file) -> set | None:
+        """Scene names (top-level dirs) from a txt file, one per line
+        (reference minidepth.py:77-78 train/val_scenes_file_path)."""
+        if not scenes_file:
+            return None
+        p = Path(scenes_file)
+        if not p.is_absolute():
+            cand = DATA_PATH / p
+            p = cand if cand.exists() else self.root / p
+        lines = p.read_text().splitlines()
+        return {ln.strip() for ln in lines if ln.strip() and not ln.startswith("#")}
 
     def get_dataset(self, split: str):
         return _CachedSplit(self, split)
@@ -68,13 +89,20 @@ class _CachedSplit:
     def __init__(self, parent: CachedGTDataset, split: str):
         self.parent = parent
         self.conf = parent.conf
-        n_val = int(self.conf.val_size)
-        if split == "val":
-            self.paths = parent.paths[:n_val]
-        elif split == "train":
-            self.paths = parent.paths[n_val:]
+        scenes = parent.scene_splits.get(split) if split in ("train", "val") else None
+        if scenes is not None:
+            self.paths = [
+                p for p in parent.paths
+                if p.relative_to(parent.root).parts[0] in scenes
+            ]
         else:
-            self.paths = parent.paths
+            n_val = int(self.conf.val_size)
+            if split == "val":
+                self.paths = parent.paths[:n_val]
+            elif split == "train":
+                self.paths = parent.paths[n_val:]
+            else:
+                self.paths = parent.paths
         self.split = split
         self._file = None
 

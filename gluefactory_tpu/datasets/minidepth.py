@@ -1,8 +1,11 @@
 """MiniDepth (MegaDepth subset) single-view training set with cached GT
 (reference: gluefactory/datasets/minidepth.py:18-506).
 
-Thin preset over cached_gt_dataset (see scripts/generate_gt.py for producing
-the field cache)."""
+Preset over cached_gt_dataset (see scripts/generate_gt.py for producing the
+field cache). Scene-list splits (reference train/val_scenes_file_path) are
+supported via ``train_scenes_file``/``val_scenes_file`` — point them at txt
+files of MegaDepth scene dirs to reproduce the reference's
+megadepth1500-excluded split."""
 
 from typing import ClassVar
 

@@ -121,3 +121,48 @@ def test_scannet_scene_sampling_and_multiscale(tmp_path):
     assert b0["image"].shape[1:3] == (64, 64)
     assert b1["image"].shape[1:3] == (96, 96)
     assert b0["gt_heatmap"].shape[1:] == (64, 64)
+
+
+def test_cached_gt_scene_list_splits(tmp_path):
+    """Scene-list txt files override the positional val split
+    (reference minidepth.py:77-78 train/val_scenes_file_path)."""
+    import cv2
+    import h5py
+
+    from gluefactory_tpu.datasets import get_dataset
+
+    root = tmp_path / "mini" / "images"
+    gt_file = tmp_path / "mini" / "gt_fields.h5"
+    gt_file.parent.mkdir(parents=True, exist_ok=True)
+    rng2 = np.random.default_rng(1)
+    with h5py.File(str(gt_file), "w") as f:
+        for s in range(4):
+            scene = root / f"scene{s}"
+            scene.mkdir(parents=True)
+            for i in range(3):
+                img = (rng2.uniform(0, 255, (32, 40, 3))).astype(np.uint8)
+                cv2.imwrite(str(scene / f"{i}.jpg"), img)
+                g = f.create_group(f"scene{s}/{i}.jpg")
+                g.create_dataset(
+                    "heatmap",
+                    data=rng2.uniform(0, 1, (32, 40)).astype(np.float32))
+    (tmp_path / "train.txt").write_text("scene0\nscene2\n\n# comment\n")
+    (tmp_path / "val.txt").write_text("scene3\n")
+    ds = get_dataset("cached_gt_dataset")(
+        {
+            "images": str(root), "gt_file": str(gt_file),
+            "train_scenes_file": str(tmp_path / "train.txt"),
+            "val_scenes_file": str(tmp_path / "val.txt"),
+            "preprocessing": {"resize": 32, "side": "long", "square_pad": True},
+            "num_workers": 0, "train_batch_size": 2,
+            "fields": ["heatmap"],
+        }
+    )
+    tr = ds.get_dataset("train")
+    va = ds.get_dataset("val")
+    assert {p.parts[-2] for p in tr.paths} == {"scene0", "scene2"}
+    assert {p.parts[-2] for p in va.paths} == {"scene3"}
+    # scene1 is in neither split; 'all' still serves everything
+    assert len(ds.get_dataset("all").paths) == 12
+    item = tr[0]
+    assert item["gt_heatmap"].shape == (32, 40) or item["gt_heatmap"].shape == (32, 32)
