@@ -1,13 +1,19 @@
 """Results inspector (reference: gluefactory/eval/inspect.py +
-visualization/global_frame.py / two_view_frame.py — the interactive matplotlib
-viewer over cached benchmark results).
+visualization/global_frame.py / two_view_frame.py).
 
-Headless-friendly version: prints the summary table, per-pair metric
-scatter, and renders match figures for selected pairs to PNG (interactive
-click-through requires a display; on servers use --pair to dump figures).
+Three modes over cached benchmark results:
+  - default: print the cross-experiment summary table (+ optional cumulative
+    error curve / single-pair PNG dumps);
+  - ``--html``: one-file report with a sortable per-pair table and match
+    renderings for the extreme pairs (server-friendly);
+  - ``--interactive``: the full matplotlib viewer — per-pair metric scatter
+    across experiments (GlobalFrame), click a point to open the pair with
+    switchable overlay tools (TwoViewFrame). Use ``MPLBACKEND=webagg`` on a
+    headless machine to serve it over HTTP.
 
 CLI: ``python -m gluefactory_tpu.eval.inspect <benchmark> <tag> [<tag2> ...]
-[--metric H_error_ransac] [--pair 0] [--out dir]``"""
+[--metric H_error_ransac] [--pair 0] [--out dir] [--html out.html]
+[--interactive [--x metric --y metric]]``"""
 
 from __future__ import annotations
 
@@ -30,6 +36,10 @@ def main():
     parser.add_argument("--out", type=str, default=None)
     parser.add_argument("--html", type=str, default=None,
                         help="write a self-contained HTML report here")
+    parser.add_argument("--interactive", action="store_true",
+                        help="launch the matplotlib GlobalFrame viewer")
+    parser.add_argument("--x", type=str, default=None)
+    parser.add_argument("--y", type=str, default=None)
     args = parser.parse_args()
 
     all_summaries = {}
@@ -57,6 +67,11 @@ def main():
     if args.html:
         write_html_report(args.benchmark, args.tags, Path(args.html),
                           metric=args.metric)
+
+    if args.interactive:
+        launch_viewer(args.benchmark, list(all_results), all_results,
+                      x=args.x, y=args.y)
+        return
 
     # per-pair metric comparison
     if args.metric:
@@ -98,6 +113,33 @@ def main():
         logger.info("Wrote %s", out)
 
 
+
+
+def launch_viewer(benchmark: str, tags: list[str], all_results: dict,
+                  x: str | None = None, y: str | None = None):
+    """Launch the interactive GlobalFrame/TwoViewFrame viewer (reference
+    eval/inspect.py:24-58). The dataloader is rebuilt from the first tag's
+    saved eval conf so pair indices line up with the cached predictions."""
+    import matplotlib.pyplot as plt
+
+    from . import get_benchmark
+    from ..core.config import Config
+    from ..visualization.global_frame import GlobalFrame
+    from ..visualization.two_view_frame import TwoViewFrame
+
+    exp_dir = EVAL_PATH / benchmark / tags[0]
+    conf = Config.load(exp_dir / "conf.yaml")
+    pipeline = get_benchmark(benchmark)(conf)
+    loader = pipeline.get_dataloader()
+    predictions = {
+        tag: EVAL_PATH / benchmark / tag / "predictions.h5" for tag in tags
+    }
+    frame = GlobalFrame(
+        {"x": x, "y": y}, all_results, loader, predictions,
+        title=f"{benchmark}: {', '.join(tags)}", child_frame=TwoViewFrame,
+    )
+    plt.show()
+    return frame
 
 
 # ---------------------------------------------------------------------------

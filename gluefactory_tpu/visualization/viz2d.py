@@ -6,11 +6,17 @@ validity masks before plotting."""
 
 from __future__ import annotations
 
+import os
+
 import matplotlib
+
+# Headless default; honour an explicit backend choice (MPLBACKEND=webagg
+# serves the interactive viewers from a server, DISPLAY enables Tk/Qt).
+if not os.environ.get("DISPLAY") and not os.environ.get("MPLBACKEND"):
+    matplotlib.use("Agg")
+
 import matplotlib.pyplot as plt
 import numpy as np
-
-matplotlib.use("Agg")
 
 
 def cm_RdGn(x):
@@ -140,13 +146,14 @@ def cm_ranking(scores, ths=(512, 1024, 2048, 4096)):
     return colors[np.clip(bucket, 0, len(colors) - 1)]
 
 
-def add_text(ax, text, pos=(0.01, 0.99), fs=15, color="w", lcolor="k", lwidth=2):
+def add_text(ax, text, pos=(0.01, 0.99), fs=15, color="w", lcolor="k", lwidth=2,
+             ha="left", va="top", **kwargs):
     """(reference viz2d.py:add_text)"""
     import matplotlib.patheffects as path_effects
 
     t = ax.text(
-        *pos, text, fontsize=fs, ha="left", va="top", color=color,
-        transform=ax.transAxes,
+        *pos, text, fontsize=fs, ha=ha, va=va, color=color,
+        transform=ax.transAxes, **kwargs,
     )
     if lcolor is not None:
         t.set_path_effects(
