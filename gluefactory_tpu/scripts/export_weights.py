@@ -4,6 +4,14 @@ blob: params-only, float16, msgpack — small enough to live in the repo
 
 Usage: python -m gluefactory_tpu.scripts.export_weights <experiment>
           [--out weights/<experiment>.f16.msgpack] [--best]
+          [--graft blob.msgpack:OLD_PREFIX:NEW_PREFIX ...]
+
+``--graft`` merges another blob's params in under remapped key prefixes —
+the mechanism behind composed pipelines (e.g. a matcher-only training
+experiment + a separately-trained extractor): the matcher keys come from the
+experiment, the extractor keys are grafted from its blob with the flat-key
+prefix rewritten to the eval pipeline's module path, e.g.
+``--graft weights/sp_tpu_stage0b.f16.msgpack:"['params']['extractor']":"['params']['extractor']['point_extractor']"``.
 """
 
 from __future__ import annotations
@@ -18,9 +26,21 @@ from ..settings import ROOT_PATH
 from ..utils.experiments import load_experiment
 
 
-def export(experiment: str, out: Path | None = None, best: bool = True) -> Path:
+def export(experiment: str, out: Path | None = None, best: bool = True,
+           graft: list[str] | None = None) -> Path:
     blob, conf = load_experiment(experiment, best=best)
-    flat = blob["state"]["params"]
+    flat = dict(blob["state"]["params"])
+    for spec in graft or []:
+        gpath, old, new = spec.rsplit(":", 2)
+        gflat, _, _ = load_weight_blob(Path(gpath))
+        n = 0
+        for k, v in gflat.items():
+            if k.startswith(old):
+                flat[new + k[len(old):]] = v
+                n += 1
+        if n == 0:
+            raise ValueError(f"graft {gpath}: no keys start with {old!r}")
+        logger.info("Grafted %d params from %s (%s -> %s)", n, gpath, old, new)
     half = {}
     for k, v in flat.items():
         arr = np.asarray(v)
@@ -62,9 +82,11 @@ def main():
     ap.add_argument("experiment")
     ap.add_argument("--out", default=None)
     ap.add_argument("--last", action="store_true", help="last instead of best")
+    ap.add_argument("--graft", action="append", default=None,
+                    help="blob.msgpack:OLD_PREFIX:NEW_PREFIX (repeatable)")
     args = ap.parse_args()
     export(args.experiment, Path(args.out) if args.out else None,
-           best=not args.last)
+           best=not args.last, graft=args.graft)
 
 
 if __name__ == "__main__":
