@@ -114,13 +114,25 @@ def eval_homography_robust(data: dict, pred: dict, conf) -> dict:
     )
     results = {}
     estimator = load_estimator("homography", conf.get("estimator", "ransac"))(conf)
-    est = estimator(
-        {
-            "m_kpts0": jnp.asarray(pts0, jnp.float32),
-            "m_kpts1": jnp.asarray(pts1, jnp.float32),
-            "valid": jnp.asarray(valid),
-        }
-    )
+    est_data = {
+        "m_kpts0": jnp.asarray(pts0, jnp.float32),
+        "m_kpts1": jnp.asarray(pts1, jnp.float32),
+        "valid": jnp.asarray(valid),
+    }
+    if "lines0" in pred and "line_matches0" in pred:
+        # feed matched line segments to line-aware estimators (hybrid_ransac)
+        # — reference eval/utils.py:146-157 (orig_lines are pre-refinement)
+        l0 = np.asarray(pred.get("orig_lines0", pred["lines0"]))
+        l1 = np.asarray(pred.get("orig_lines1", pred["lines1"]))
+        lm0 = np.asarray(pred["line_matches0"]).astype(int)
+        lvalid = lm0 > -1
+        if "valid_lines0" in pred:
+            lvalid = lvalid & np.asarray(pred["valid_lines0"]).astype(bool)
+        est_data["m_lines0"] = jnp.asarray(l0, jnp.float32)
+        est_data["m_lines1"] = jnp.asarray(l1[np.clip(lm0, 0, len(l1) - 1)],
+                                           jnp.float32)
+        est_data["valid_lines"] = jnp.asarray(lvalid)
+    est = estimator(est_data)
     if not est["success"]:
         results["H_error_ransac"] = np.nan
         results["ransac_inl"] = 0

@@ -311,3 +311,45 @@ def test_area_distance_reference_parity():
     self_d = np.asarray(area_line_dist(
         jnp.asarray(seg1, jnp.float32), jnp.asarray(seg1, jnp.float32)))
     np.testing.assert_allclose(np.diag(self_d), 0.0, atol=1e-5)
+
+
+def test_eval_homography_robust_feeds_lines_to_hybrid():
+    """eval_homography_robust passes matched line segments through to a
+    line-aware estimator (reference eval/utils.py:146-157): with few noisy
+    points but many clean lines, hybrid_ransac must recover H where the
+    point-only estimate is poor."""
+    from gluefactory_tpu.core.config import Config
+    from gluefactory_tpu.eval.utils import eval_homography_robust
+
+    rng = np.random.default_rng(5)
+    H_gt = np.array([[1.05, 0.02, 8.0], [-0.03, 0.97, -5.0], [1e-4, -5e-5, 1.0]],
+                    np.float32)
+
+    def warp(p):
+        ph = np.concatenate([p, np.ones_like(p[..., :1])], -1) @ H_gt.T
+        return ph[..., :2] / ph[..., 2:]
+
+    # 6 points, half of them gross outliers
+    kp0 = rng.uniform(50, 400, (6, 2)).astype(np.float32)
+    kp1 = warp(kp0)
+    kp1[3:] += rng.uniform(40, 80, (3, 2)).astype(np.float32)
+    # 24 clean line segments
+    l0 = rng.uniform(50, 400, (24, 2, 2)).astype(np.float32)
+    l1 = warp(l0)
+    pred = {
+        "keypoints0": kp0, "keypoints1": kp1,
+        "matches0": np.arange(6), "matching_scores0": np.ones(6, np.float32),
+        "lines0": l0, "lines1": l1,
+        "line_matches0": np.arange(24),
+        "line_matching_scores0": np.ones(24, np.float32),
+    }
+    data = {"H_0to1": H_gt, "view0": {"image_size": np.array([480.0, 480.0])}}
+    res = eval_homography_robust(
+        data, pred, Config({"estimator": "hybrid_ransac", "ransac_th": 3.0}))
+    assert res["H_error_ransac"] < 2.0, res
+    # point-only path is unaffected by the new keys (plain ransac ignores lines)
+    res_pts = eval_homography_robust(
+        data, {k: v for k, v in pred.items() if not k.startswith("line")
+               and "lines" not in k},
+        Config({"estimator": "ransac", "ransac_th": 3.0}))
+    assert "H_error_ransac" in res_pts
