@@ -357,3 +357,35 @@ def test_trained_gluestick_quality(tmp_path):
     # endpoint agreement is loose (partial overlap); midpoint-to-line would
     # be tighter — precision gate: most matched lines land within 5 px
     assert (d < 5.0).mean() > 0.5, d
+
+
+LOFTR_BLOB = WEIGHTS_PATH / "loftr_tpu_stage0b.f16.msgpack"
+
+
+@pytest.mark.skipif(not LOFTR_BLOB.exists(), reason="no LoFTR weights")
+def test_trained_loftr_quality(tmp_path):
+    """Detector-free LoFTR gate (stage 0: coarse dual-softmax on the
+    on-device engine, 6k steps; stage 0b: fine-branch fine-tune after the
+    normalized-correlation fix, 4k steps). Rendered-set benchmark at 480px:
+    H-AUC@1/3/5px 10.5/48.6/64.8 (mAA 41.3), prec@3px 0.74, 892
+    matches/pair — stage 0 alone was mAA 0.26 (saturated fine softmax)."""
+    pairs = render_pairs(tmp_path, n_seqs=2)
+    model = build_model(
+        "matchers.loftr",
+        {"coarse_layers": 4, "max_matches": 512, "match_threshold": 0.2},
+    )
+    data0 = {
+        "view0": {"image": jnp.zeros((1, 360, 480, 3)),
+                  "image_size": jnp.asarray([[480.0, 360.0]])},
+        "view1": {"image": jnp.zeros((1, 360, 480, 3)),
+                  "image_size": jnp.asarray([[480.0, 360.0]])},
+    }
+    params = model.init(jax.random.key(0), data0)
+    flat, _, _ = load_weight_blob(LOFTR_BLOB)
+    from gluefactory_tpu.utils.experiments import restore_from_flat_dict
+
+    params = restore_from_flat_dict(params, flat)
+    stats = run_quality(model, params, pairs)
+    assert np.median(stats["matches"]) > 200, stats
+    assert np.median(stats["prec3"]) > 0.5, stats
+    assert np.median(stats["h_err"]) < 4.0, stats
