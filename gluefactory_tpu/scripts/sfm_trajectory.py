@@ -1,0 +1,276 @@
+"""End-to-end trajectory benchmark: rendered multi-view scenes -> trained
+two-view matcher -> incremental SfM (sfm/pipeline.run_sfm: chained essential
+RANSAC + scale propagation + triangulation + Schur BA) -> ATE against the
+exact rendered trajectory.
+
+This closes the loop the pair benchmarks can't: BASELINE.md's trajectory-ATE
+target needs a multi-view sequence with ground-truth poses, which zero
+egress rules out downloading — so we render it. Scenes reuse the
+piecewise-planar world of scripts/generate_pose_eval_set (per-plane
+homography compositing keeps GT K/R/t exact while giving true parallax);
+the camera advances along a smooth arc so consecutive views overlap like a
+video trajectory.
+
+CLI (two phases, megadepth-style):
+  python -m gluefactory_tpu.scripts.sfm_trajectory --render \
+      [--out data/trajectory-eval] [--scenes 4] [--views 8]
+  GFTPU_PLATFORM=cpu python -m gluefactory_tpu.scripts.sfm_trajectory \
+      --tag sift_lg --checkpoint weights/lg_sift_stage1.f16.msgpack
+
+The run phase extracts features per pair with the pipeline's (deterministic)
+extractor, matches consecutive views, runs run_sfm per scene and writes
+outputs/results/trajectory/<tag>/summaries.json with per-scene and mean
+ATE (Sim(3)-aligned, normalized by trajectory extent) plus BA cost drops.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+from .. import logger
+from ..settings import DATA_PATH, EVAL_PATH
+
+DEFAULT_OUT = "trajectory-eval"
+
+
+# ---------------------------------------------------------------------------
+# Rendering
+# ---------------------------------------------------------------------------
+
+
+def render_trajectory_scene(out_dir: Path, rng: np.random.Generator,
+                            size=(640, 480), n_planes: int = 4,
+                            n_views: int = 8, step_rot_deg: float = 4.0,
+                            step_t: float = 0.12):
+    """Render ``n_views`` views along a smooth arc through the piecewise-
+    planar world; writes k.png + poses.json (T_0tok, 4x4 row-major) + K."""
+    import cv2
+
+    from .generate_pose_eval_set import _check_convention, _rotation
+    from ..datasets.homographies import generate_structured_image
+
+    w, h = size
+    out_dir.mkdir(parents=True, exist_ok=True)
+    img0 = generate_structured_image(rng, (w, h))
+    img0_u8 = (img0 * 255).astype(np.uint8) if img0.dtype != np.uint8 else img0
+    cv2.imwrite(str(out_dir / "0.png"), img0_u8[..., ::-1])
+
+    f = 0.9 * w
+    Kmat = np.array([[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1.0]])
+
+    edges = np.linspace(0, w, n_planes + 1).astype(int)
+    depths = rng.permutation(np.linspace(4.0, 9.0, n_planes))
+    planes = []
+    for i in range(n_planes):
+        tilt = rng.uniform(-0.25, 0.25, size=2)
+        n = np.array([tilt[0], tilt[1], 1.0])
+        planes.append((n / np.linalg.norm(n), float(depths[i])))
+
+    # smooth arc: accumulate a small fixed rotation axis + drifting translation
+    R_step = _rotation(rng, step_rot_deg)
+    t_dir = rng.normal(size=3)
+    t_dir /= np.linalg.norm(t_dir)
+    poses = [np.eye(4)]
+    R_cur = np.eye(3)
+    t_cur = np.zeros(3)
+    for k in range(1, n_views):
+        R_cur = R_step @ R_cur
+        t_cur = t_cur + R_step @ (step_t * t_dir)
+        t_dir = t_dir + 0.15 * rng.normal(size=3)  # gentle curvature
+        t_dir /= np.linalg.norm(t_dir)
+        T = np.eye(4)
+        T[:3, :3] = R_cur
+        T[:3, 3] = t_cur
+        poses.append(T.copy())
+
+        order = np.argsort([-d for _, d in planes])
+        img1 = np.zeros_like(img0_u8)
+        filled = np.zeros((h, w), bool)
+        for pi in order:
+            n, d = planes[pi]
+            H, _ = _check_convention(Kmat, R_cur, t_cur, n, d, rng)
+            strip = np.zeros((h, w), np.uint8)
+            strip[:, edges[pi]:edges[pi + 1]] = 255
+            warped = cv2.warpPerspective(img0_u8, H.astype(np.float64), (w, h))
+            mask = cv2.warpPerspective(strip, H.astype(np.float64), (w, h)) > 127
+            img1[mask] = warped[mask]
+            filled |= mask
+        gain = rng.uniform(0.92, 1.08)
+        img1 = np.clip(img1.astype(np.float32) * gain
+                       + rng.uniform(-6, 6), 0, 255)
+        img1 = (img1 + rng.normal(0, 2.0, img1.shape)).clip(0, 255)
+        img1 = img1.astype(np.uint8)
+        img1[~filled] = 0
+        cv2.imwrite(str(out_dir / f"{k}.png"), img1[..., ::-1])
+
+    meta = {
+        "K": Kmat.tolist(),
+        "size": [w, h],
+        "poses_0tok": [T.tolist() for T in poses],
+    }
+    (out_dir / "poses.json").write_text(json.dumps(meta))
+
+
+def render(out: Path, scenes: int, views: int, seed: int = 0):
+    for s in range(scenes):
+        rng = np.random.default_rng((737373, seed, s))
+        render_trajectory_scene(out / f"scene_{s}", rng, n_views=views)
+        logger.info("Rendered %s (%d views)", out / f"scene_{s}", views)
+
+
+# ---------------------------------------------------------------------------
+# Matching + SfM
+# ---------------------------------------------------------------------------
+
+
+def _build_pipeline(checkpoint: str | None, max_kpts: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import Config
+    from ..eval.io import load_model, restore_params
+
+    model_conf = Config({
+        "name": "two_view_pipeline",
+        "extractor": {
+            "name": "extractors.sift",
+            "max_num_keypoints": max_kpts,
+            "contrast_threshold": 0.02,
+        },
+        "matcher": {
+            "name": "matchers.lightglue",
+            "input_dim": 128,
+            "add_scale_ori": False,
+            "n_layers": 6,
+            "filter_threshold": 0.1,
+            "checkpointed": False,
+            "save_layer_outputs": False,
+        },
+        "ground_truth": {"name": None},
+        "run_gt_in_forward": False,
+    })
+    model, flat = load_model(model_conf, checkpoint)
+    data0 = {
+        "view0": {"image": jnp.zeros((1, 480, 640, 3)),
+                  "image_size": jnp.asarray([[640.0, 480.0]])},
+        "view1": {"image": jnp.zeros((1, 480, 640, 3)),
+                  "image_size": jnp.asarray([[640.0, 480.0]])},
+    }
+    params = model.init(jax.random.key(0), data0)
+    params = restore_params(params, flat)
+    return model, params
+
+
+def run_scene(scene_dir: Path, model, params, apply_fn) -> dict:
+    import jax.numpy as jnp
+
+    from ..geometry.wrappers import Camera, Pose
+    from ..sfm.alignment import absolute_trajectory_error, camera_centers
+    from ..sfm.pipeline import run_sfm
+    from ..utils.image import read_image
+
+    meta = json.loads((scene_dir / "poses.json").read_text())
+    Kmat = np.asarray(meta["K"], np.float32)
+    w, h = meta["size"]
+    T_list = [np.asarray(T, np.float32) for T in meta["poses_0tok"]]
+    V = len(T_list)
+    imgs = [read_image(scene_dir / f"{k}.png").astype(np.float32) / 255.0
+            for k in range(V)]
+
+    kpts = [None] * V
+    valid = [None] * V
+    matches = {}
+    for i in range(V - 1):
+        data = {
+            "view0": {"image": jnp.asarray(imgs[i])[None],
+                      "image_size": jnp.asarray([[w, h]], jnp.float32)},
+            "view1": {"image": jnp.asarray(imgs[i + 1])[None],
+                      "image_size": jnp.asarray([[w, h]], jnp.float32)},
+        }
+        pred = apply_fn(params, data)
+        kpts[i] = np.asarray(pred["keypoints0"][0])
+        kpts[i + 1] = np.asarray(pred["keypoints1"][0])
+        valid[i] = np.asarray(pred.get("keypoint_valid0",
+                                       jnp.ones(kpts[i].shape[0]))[0] > 0)
+        valid[i + 1] = np.asarray(pred.get("keypoint_valid1",
+                                           jnp.ones(kpts[i + 1].shape[0]))[0] > 0)
+        matches[(i, i + 1)] = np.asarray(pred["matches0"][0]).astype(int)
+
+    cams = Camera.from_calibration_matrix(
+        jnp.tile(jnp.asarray(Kmat)[None], (V, 1, 1)),
+        size=jnp.tile(jnp.asarray([float(w), float(h)])[None], (V, 1)),
+    )
+    out = run_sfm(np.stack(kpts), np.stack(valid), matches, cams,
+                  ransac_th=2.0, num_hypotheses=1024, ba_iters=15)
+
+    poses_gt = Pose.from_4x4mat(jnp.asarray(np.stack(T_list)))
+    extent = np.linalg.norm(
+        camera_centers(poses_gt) - camera_centers(poses_gt).mean(0), axis=-1
+    ).max()
+    costs = np.asarray(out["ba_info"]["costs"])
+    return {
+        "ate": absolute_trajectory_error(out["poses"], poses_gt),
+        "ate_init": absolute_trajectory_error(out["poses_init"], poses_gt),
+        "extent": float(extent),
+        "n_matches_mean": float(np.mean(
+            [(m > -1).sum() for m in matches.values()])),
+        "ba_cost_first": float(costs[0]),
+        "ba_cost_last": float(costs[-1]),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--render", action="store_true")
+    ap.add_argument("--out", type=str, default=DEFAULT_OUT)
+    ap.add_argument("--scenes", type=int, default=4)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--tag", type=str, default="default")
+    ap.add_argument("--checkpoint", type=str, default=None)
+    ap.add_argument("--max_kpts", type=int, default=1024)
+    args = ap.parse_args()
+
+    root = Path(args.out)
+    if not root.is_absolute():
+        root = DATA_PATH / root
+
+    if args.render:
+        render(root, args.scenes, args.views)
+        return
+
+    import jax
+
+    model, params = _build_pipeline(args.checkpoint, args.max_kpts)
+    apply_fn = jax.jit(model.apply)
+    scene_dirs = sorted(d for d in root.iterdir() if d.is_dir())
+    per_scene = {}
+    for sd in scene_dirs:
+        res = run_scene(sd, model, params, apply_fn)
+        per_scene[sd.name] = res
+        logger.info("%s: ATE %.4f (init %.4f, extent %.2f) matches %.0f",
+                    sd.name, res["ate"], res["ate_init"], res["extent"],
+                    res["n_matches_mean"])
+
+    ates = np.array([r["ate"] for r in per_scene.values()])
+    ates_rel = np.array([r["ate"] / r["extent"] for r in per_scene.values()])
+    summary = {
+        "mATE": round(float(ates.mean()), 4),
+        "mATE_norm": round(float(ates_rel.mean()), 4),
+        "medATE_norm": round(float(np.median(ates_rel)), 4),
+        "scenes": {k: {kk: round(vv, 4) for kk, vv in v.items()}
+                   for k, v in per_scene.items()},
+        "checkpoint": args.checkpoint,
+        "views": args.views,
+    }
+    out_dir = EVAL_PATH / "trajectory" / args.tag
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "summaries.json").write_text(json.dumps(summary, indent=1))
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
