@@ -127,14 +127,37 @@ def render(out: Path, scenes: int, views: int, seed: int = 0):
 # ---------------------------------------------------------------------------
 
 
-def _build_pipeline(checkpoint: str | None, max_kpts: int):
+def _build_pipeline(checkpoint: str | None, max_kpts: int,
+                    conf_path: str | None = None):
     import jax
     import jax.numpy as jnp
 
     from ..core.config import Config
     from ..eval.io import load_model, restore_params
 
-    model_conf = Config({
+    if conf_path:  # any two-view model card (e.g. superpoint+lsd+gluestick)
+        card = Config.load(conf_path)
+        model_conf = Config(card.get("model", card))
+        model_conf = model_conf.merge(
+            {"ground_truth": {"name": None}, "run_gt_in_forward": False})
+    else:
+        model_conf = _default_model_conf(max_kpts)
+    model, flat = load_model(model_conf, checkpoint)
+    data0 = {
+        "view0": {"image": jnp.zeros((1, 480, 640, 3)),
+                  "image_size": jnp.asarray([[640.0, 480.0]])},
+        "view1": {"image": jnp.zeros((1, 480, 640, 3)),
+                  "image_size": jnp.asarray([[640.0, 480.0]])},
+    }
+    params = model.init(jax.random.key(0), data0)
+    params = restore_params(params, flat)
+    return model, params
+
+
+def _default_model_conf(max_kpts: int):
+    from ..core.config import Config
+
+    return Config({
         "name": "two_view_pipeline",
         "extractor": {
             "name": "extractors.sift",
@@ -153,16 +176,6 @@ def _build_pipeline(checkpoint: str | None, max_kpts: int):
         "ground_truth": {"name": None},
         "run_gt_in_forward": False,
     })
-    model, flat = load_model(model_conf, checkpoint)
-    data0 = {
-        "view0": {"image": jnp.zeros((1, 480, 640, 3)),
-                  "image_size": jnp.asarray([[640.0, 480.0]])},
-        "view1": {"image": jnp.zeros((1, 480, 640, 3)),
-                  "image_size": jnp.asarray([[640.0, 480.0]])},
-    }
-    params = model.init(jax.random.key(0), data0)
-    params = restore_params(params, flat)
-    return model, params
 
 
 def run_scene(scene_dir: Path, model, params, apply_fn) -> dict:
@@ -231,6 +244,8 @@ def main():
     ap.add_argument("--views", type=int, default=8)
     ap.add_argument("--tag", type=str, default="default")
     ap.add_argument("--checkpoint", type=str, default=None)
+    ap.add_argument("--conf", type=str, default=None,
+                    help="model card YAML (default: SIFT+LightGlue)")
     ap.add_argument("--max_kpts", type=int, default=1024)
     args = ap.parse_args()
 
@@ -244,7 +259,8 @@ def main():
 
     import jax
 
-    model, params = _build_pipeline(args.checkpoint, args.max_kpts)
+    model, params = _build_pipeline(args.checkpoint, args.max_kpts,
+                                    conf_path=args.conf)
     apply_fn = jax.jit(model.apply)
     scene_dirs = sorted(d for d in root.iterdir() if d.is_dir())
     per_scene = {}
