@@ -64,6 +64,48 @@ def _check_convention(Kmat, R, t, n, d, rng):
     return H, float(depth.min())
 
 
+def make_planar_world(rng: np.random.Generator, size, n_planes: int):
+    """Strip edges + slanted planes at staggered depths + K for a scene."""
+    w, h = size
+    f = 0.9 * w
+    Kmat = np.array([[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1.0]])
+    edges = np.linspace(0, w, n_planes + 1).astype(int)
+    depths = rng.permutation(np.linspace(4.0, 9.0, n_planes))
+    planes = []
+    for i in range(n_planes):
+        tilt = rng.uniform(-0.25, 0.25, size=2)
+        n = np.array([tilt[0], tilt[1], 1.0])
+        planes.append((n / np.linalg.norm(n), float(depths[i])))
+    return Kmat, edges, planes
+
+
+def composite_view(img0_u8: np.ndarray, Kmat: np.ndarray, planes, edges,
+                   R: np.ndarray, t: np.ndarray, rng: np.random.Generator,
+                   gain_range=(0.9, 1.1), bias_range=(-8, 8)):
+    """Render the view at (R, t) by per-plane homographies composited
+    far-to-near (painter's algorithm) + mild photometric perturbation."""
+    h, w = img0_u8.shape[:2]
+    order = np.argsort([-d for _, d in planes])
+    img1 = np.zeros_like(img0_u8)
+    filled = np.zeros((h, w), bool)
+    for pi in order:
+        n, d = planes[pi]
+        H, _ = _check_convention(Kmat, R, t, n, d, rng)
+        strip = np.zeros((h, w), np.uint8)
+        strip[:, edges[pi]:edges[pi + 1]] = 255
+        warped = cv2.warpPerspective(img0_u8, H.astype(np.float64), (w, h))
+        mask = cv2.warpPerspective(strip, H.astype(np.float64), (w, h)) > 127
+        img1[mask] = warped[mask]
+        filled |= mask
+    gain = rng.uniform(*gain_range)
+    img1 = np.clip(img1.astype(np.float32) * gain
+                   + rng.uniform(*bias_range), 0, 255)
+    img1 = (img1 + rng.normal(0, 2.0, img1.shape)).clip(0, 255)
+    img1 = img1.astype(np.uint8)
+    img1[~filled] = 0
+    return img1
+
+
 def render_pose_scene(out_dir: Path, rng: np.random.Generator,
                       size=(640, 480), n_planes: int = 4,
                       max_rot_deg: float = 10.0, t_scale: float = 0.35,
@@ -76,46 +118,14 @@ def render_pose_scene(out_dir: Path, rng: np.random.Generator,
         else img0
     cv2.imwrite(str(out_dir / "0.png"), img0_u8[..., ::-1])
 
-    f = 0.9 * w
-    Kmat = np.array([[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1.0]])
-
-    # vertical strips -> slanted planes at staggered depths
-    edges = np.linspace(0, w, n_planes + 1).astype(int)
-    depths = rng.permutation(np.linspace(4.0, 9.0, n_planes))
-    planes = []
-    for i in range(n_planes):
-        tilt = rng.uniform(-0.25, 0.25, size=2)
-        n = np.array([tilt[0], tilt[1], 1.0])
-        n /= np.linalg.norm(n)
-        planes.append((n, float(depths[i])))
+    Kmat, edges, planes = make_planar_world(rng, (w, h), n_planes)
 
     lines = []
     for k in range(n_pairs):
         R = _rotation(rng, max_rot_deg)
         t = rng.normal(size=3)
         t = t / np.linalg.norm(t) * t_scale * (1.0 + 0.5 * k)
-        # composite far-to-near (painter's algorithm)
-        order = np.argsort([-d for _, d in planes])
-        img1 = np.zeros_like(img0_u8)
-        filled = np.zeros((h, w), bool)
-        for pi in order:
-            n, d = planes[pi]
-            H, _ = _check_convention(Kmat, R, t, n, d, rng)
-            strip = np.zeros((h, w), np.uint8)
-            strip[:, edges[pi]:edges[pi + 1]] = 255
-            warped = cv2.warpPerspective(img0_u8, H.astype(np.float64),
-                                         (w, h))
-            mask = cv2.warpPerspective(strip, H.astype(np.float64),
-                                       (w, h)) > 127
-            img1[mask] = warped[mask]
-            filled |= mask
-        # mild photometric perturbation
-        gain = rng.uniform(0.9, 1.1)
-        bias = rng.uniform(-8, 8)
-        img1 = np.clip(img1.astype(np.float32) * gain + bias, 0, 255)
-        img1 = (img1 + rng.normal(0, 2.0, img1.shape)).clip(0, 255)
-        img1 = img1.astype(np.uint8)
-        img1[~filled] = 0
+        img1 = composite_view(img0_u8, Kmat, planes, edges, R, t, rng)
         cv2.imwrite(str(out_dir / f"{k + 1}.png"), img1[..., ::-1])
 
         T = np.eye(4)

@@ -50,7 +50,11 @@ def render_trajectory_scene(out_dir: Path, rng: np.random.Generator,
     planar world; writes k.png + poses.json (T_0tok, 4x4 row-major) + K."""
     import cv2
 
-    from .generate_pose_eval_set import _check_convention, _rotation
+    from .generate_pose_eval_set import (
+        _rotation,
+        composite_view,
+        make_planar_world,
+    )
     from ..datasets.homographies import generate_structured_image
 
     w, h = size
@@ -59,16 +63,7 @@ def render_trajectory_scene(out_dir: Path, rng: np.random.Generator,
     img0_u8 = (img0 * 255).astype(np.uint8) if img0.dtype != np.uint8 else img0
     cv2.imwrite(str(out_dir / "0.png"), img0_u8[..., ::-1])
 
-    f = 0.9 * w
-    Kmat = np.array([[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1.0]])
-
-    edges = np.linspace(0, w, n_planes + 1).astype(int)
-    depths = rng.permutation(np.linspace(4.0, 9.0, n_planes))
-    planes = []
-    for i in range(n_planes):
-        tilt = rng.uniform(-0.25, 0.25, size=2)
-        n = np.array([tilt[0], tilt[1], 1.0])
-        planes.append((n / np.linalg.norm(n), float(depths[i])))
+    Kmat, edges, planes = make_planar_world(rng, (w, h), n_planes)
 
     # smooth arc: accumulate a small fixed rotation axis + drifting translation
     R_step = _rotation(rng, step_rot_deg)
@@ -87,24 +82,8 @@ def render_trajectory_scene(out_dir: Path, rng: np.random.Generator,
         T[:3, 3] = t_cur
         poses.append(T.copy())
 
-        order = np.argsort([-d for _, d in planes])
-        img1 = np.zeros_like(img0_u8)
-        filled = np.zeros((h, w), bool)
-        for pi in order:
-            n, d = planes[pi]
-            H, _ = _check_convention(Kmat, R_cur, t_cur, n, d, rng)
-            strip = np.zeros((h, w), np.uint8)
-            strip[:, edges[pi]:edges[pi + 1]] = 255
-            warped = cv2.warpPerspective(img0_u8, H.astype(np.float64), (w, h))
-            mask = cv2.warpPerspective(strip, H.astype(np.float64), (w, h)) > 127
-            img1[mask] = warped[mask]
-            filled |= mask
-        gain = rng.uniform(0.92, 1.08)
-        img1 = np.clip(img1.astype(np.float32) * gain
-                       + rng.uniform(-6, 6), 0, 255)
-        img1 = (img1 + rng.normal(0, 2.0, img1.shape)).clip(0, 255)
-        img1 = img1.astype(np.uint8)
-        img1[~filled] = 0
+        img1 = composite_view(img0_u8, Kmat, planes, edges, R_cur, t_cur, rng,
+                              gain_range=(0.92, 1.08), bias_range=(-6, 6))
         cv2.imwrite(str(out_dir / f"{k}.png"), img1[..., ::-1])
 
     meta = {
@@ -205,12 +184,31 @@ def run_scene(scene_dir: Path, model, params, apply_fn) -> dict:
                       "image_size": jnp.asarray([[w, h]], jnp.float32)},
         }
         pred = apply_fn(params, data)
-        kpts[i] = np.asarray(pred["keypoints0"][0])
+        k0 = np.asarray(pred["keypoints0"][0])
+        # the chaining contract requires pair-independent detections: view
+        # i's keypoints from pair (i-1, i) must equal those from (i, i+1).
+        # Detector-based extractors (SIFT/SP/...) are deterministic per
+        # image; detector-free matchers (LoFTR) emit pair-dependent
+        # "keypoints" and cannot feed this chain — fail loudly, not with a
+        # plausible-but-wrong ATE.
+        if kpts[i] is not None:
+            dev = float(np.abs(kpts[i] - k0).max())
+            if dev > 1e-3:
+                raise RuntimeError(
+                    f"view {i}: keypoints differ between consecutive pairs "
+                    f"(max dev {dev:.2f}px) — the model card's detections "
+                    "are pair-dependent (detector-free matcher?); the "
+                    "trajectory chain needs a per-image detector"
+                )
+        kpts[i] = k0
         kpts[i + 1] = np.asarray(pred["keypoints1"][0])
-        valid[i] = np.asarray(pred.get("keypoint_valid0",
-                                       jnp.ones(kpts[i].shape[0]))[0] > 0)
-        valid[i + 1] = np.asarray(pred.get("keypoint_valid1",
-                                           jnp.ones(kpts[i + 1].shape[0]))[0] > 0)
+        n0, n1 = kpts[i].shape[0], kpts[i + 1].shape[0]
+        valid[i] = np.asarray(
+            pred["keypoint_valid0"][0] > 0) if "keypoint_valid0" in pred \
+            else np.ones(n0, bool)
+        valid[i + 1] = np.asarray(
+            pred["keypoint_valid1"][0] > 0) if "keypoint_valid1" in pred \
+            else np.ones(n1, bool)
         matches[(i, i + 1)] = np.asarray(pred["matches0"][0]).astype(int)
 
     cams = Camera.from_calibration_matrix(

@@ -203,12 +203,14 @@ class GlobalFrame:
         self.draw()
 
     def _on_key(self, event):
+        # matplotlib reports shift+letter as the capital letter
         key = event.key or ""
-        if key in ("x", "shift+x"):
-            self._cycle("x", -1 if "shift" in key else 1)
-        elif key in ("y", "shift+y"):
-            self._cycle("y", -1 if "shift" in key else 1)
-        elif key == "d":
+        reverse = "shift" in key or key.isupper()
+        if key in ("x", "X", "shift+x"):
+            self._cycle("x", -1 if reverse else 1)
+        elif key in ("y", "Y", "shift+y"):
+            self._cycle("y", -1 if reverse else 1)
+        elif key in ("d", "D"):
             self.conf["diff"] = not self.conf["diff"]
             self.draw()
 

@@ -36,7 +36,11 @@ def _valid_mask(pred: dict, base: str, vid: str) -> np.ndarray | None:
     """Padded-slot mask for ``<base><vid>`` (static-shape exports carry either
     an explicit validity mask or zero-score padding)."""
     n = len(_np(pred[f"{base}{vid}"]))
-    for key in (f"{base}_valid{vid}", f"valid_{base}s{vid}"):
+    mask_keys = {
+        "keypoints": (f"keypoint_valid{vid}",),  # cache_loader convention
+        "lines": (f"valid_lines{vid}",),
+    }[base]
+    for key in mask_keys:
         if key in pred:
             return _np(pred[key]).astype(bool)[:n]
     skey = {"keypoints": f"keypoint_scores{vid}", "lines": f"line_scores{vid}"}.get(

@@ -62,6 +62,9 @@ class TwoViewFrame:
         self._static_texts = {
             t for row in self.axes for ax in row for t in ax.texts
         }
+        self._static_images = {
+            im for row in self.axes for ax in row for im in ax.images
+        }
         if title is not None and self.fig.canvas.manager is not None:
             try:
                 self.fig.canvas.manager.set_window_title(str(title))
@@ -137,15 +140,20 @@ class TwoViewFrame:
                 for txt in list(ax.texts):
                     if txt not in self._static_texts:
                         txt.remove()
+                for im in list(ax.images):  # heatmap overlays
+                    if im not in self._static_images:
+                        im.remove()
         for art in list(self.fig.artists):  # cross-axes match segments
             art.remove()
 
     # ----------------------------------------------------------------- events
     def _on_key(self, event):
-        key = (event.key or "").lower()
+        # matplotlib reports shift+letter as the capital letter
+        raw = event.key or ""
+        key = raw.lower()
         if key in ("r", "shift+r") and self.options:
             cur = self.options.index(self.conf["default"])
-            step = -1 if "shift" in (event.key or "") else 1
+            step = -1 if ("shift" in raw or raw == "R") else 1
             self.draw(self.options[(cur + step) % len(self.options)])
         elif key == "t":
             self.set_summary_visible(not self.conf["summary_visible"])
