@@ -389,3 +389,45 @@ def test_trained_loftr_quality(tmp_path):
     assert np.median(stats["matches"]) > 200, stats
     assert np.median(stats["prec3"]) > 0.5, stats
     assert np.median(stats["h_err"]) < 4.0, stats
+
+
+SIFT_LG2_BLOB = WEIGHTS_PATH / "lg_sift_stage2.f16.msgpack"
+
+
+@pytest.mark.skipif(not SIFT_LG2_BLOB.exists(), reason="no SIFT+LG2 weights")
+def test_trained_sift_lightglue_stage2_quality(tmp_path):
+    """Stage-2 SIFT+LightGlue flagship gate (fresh harder-homography pool at
+    decayed LR on top of lg_sift_stage1). Rendered set: mAA 77.3 (stage 1:
+    76.9), AUC@1px 61.0, prec@1px 0.731; pose mAA 96.4 (93.8 @5deg)."""
+    pairs = render_pairs(tmp_path)
+    conf = {
+        "extractor": {
+            "name": "extractors.sift",
+            "max_num_keypoints": 1024,
+            "contrast_threshold": 0.02,
+        },
+        "matcher": {
+            "name": "matchers.lightglue",
+            "input_dim": 128,
+            "n_layers": 6,
+            "filter_threshold": 0.1,
+            "checkpointed": False,
+            "save_layer_outputs": False,
+        },
+    }
+    model = build_model("two_view_pipeline", conf)
+    data0 = {
+        "view0": {"image": jnp.zeros((1, 360, 480, 3)),
+                  "image_size": jnp.asarray([[480.0, 360.0]])},
+        "view1": {"image": jnp.zeros((1, 360, 480, 3)),
+                  "image_size": jnp.asarray([[480.0, 360.0]])},
+    }
+    params = model.init(jax.random.key(0), data0)
+    flat, _, _ = load_weight_blob(SIFT_LG2_BLOB)
+    from gluefactory_tpu.utils.experiments import restore_from_flat_dict
+    params = restore_from_flat_dict(params, flat)
+    stats = run_quality(model, params, pairs)
+    assert np.median(stats["matches"]) > 60, stats
+    assert np.median(stats["prec1"]) > 0.55, stats
+    assert np.median(stats["prec3"]) > 0.7, stats
+    assert np.median(stats["h_err"]) < 1.0, stats
