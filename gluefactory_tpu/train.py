@@ -298,9 +298,12 @@ def make_train_step(model, tx, mesh: jax.sharding.Mesh, make_batch=None):
 
     def engine_step(params, opt_state, pool, seed):
         data = make_batch(pool, jax.random.key(seed), "train")
-        # image_size exists for both engine variants (the cached-feature
-        # engine serves 'cache' + 'image_size' and has no 'image')
-        data = shard_data_tree(data, data["view0"]["image_size"].shape[0])
+        # image_size exists for every engine variant; single-view engines
+        # (synthetic_shapes_ondevice) serve it at the top level, pair
+        # engines under view0
+        size = data["view0"]["image_size"] if "view0" in data \
+            else data["image_size"]
+        data = shard_data_tree(data, size.shape[0])
         return step(params, opt_state, data)
 
     jitted = jax.jit(
