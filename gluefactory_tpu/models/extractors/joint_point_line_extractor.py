@@ -36,6 +36,12 @@ class JPLDD(BaseModel):
     default_conf: ClassVar[dict] = {
         "channels": [16, 32, 64, 128],
         "dim": 128,
+        # trunk selector (reference builds the trunk from backbone_encoder
+        # cfgs, :135-143): "inline" = the in-class ALIKED-style trunk below;
+        # anything else is resolved by models/backbones/backbone_encoder.py
+        # (e.g. {"name": "vgg_unet", "tiny": true} or {"name": "dinov2"})
+        # and adapted to (H, W, dim) with a 1x1 projection.
+        "backbone": {"name": "inline"},
         "max_num_keypoints": 1024,
         "detection_threshold": 0.01,
         "nms_radius": 2,
@@ -60,6 +66,13 @@ class JPLDD(BaseModel):
     def setup(self):
         c1, c2, c3, c4 = self.conf.channels
         dim = self.conf.dim
+        if self.conf.backbone.get("name", "inline") != "inline":
+            from ..backbones.backbone_encoder import make_backbone
+
+            self.ext_backbone = make_backbone(dict(self.conf.backbone))
+            self.backbone_adapter = nn.Conv(
+                dim, (1, 1), name="backbone_adapter"
+            )
         self.block1 = ConvBlock(c1, name="block1")
         self.block2 = ConvBlock(c2, stride=2, name="block2")
         self.block3 = ResBlock(c3, deformable=True, name="block3")
@@ -89,6 +102,14 @@ class JPLDD(BaseModel):
             self.line_extractor = make_submodel(self.conf.line_extractor)
 
     def backbone(self, image):
+        if self.conf.backbone.get("name", "inline") != "inline":
+            feats = self.ext_backbone({"image": image})["features"]
+            b, h, w = image.shape[0], image.shape[1], image.shape[2]
+            if feats.shape[1:3] != (h, w):  # e.g. stride-14 DINOv2 grid
+                feats = jax.image.resize(
+                    feats, (b, h, w, feats.shape[-1]), "bilinear"
+                )
+            return nn.selu(self.backbone_adapter(feats))
         x1 = self.block1(image)
         x2 = self.block2(x1)
         x3 = self.block3(nn.avg_pool(x2, (2, 2), strides=(2, 2)))
