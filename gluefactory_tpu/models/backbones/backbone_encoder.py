@@ -4,11 +4,19 @@ backbones/backbone_encoder.py:1-328 — the ALIKED encoder family with the
 as their trunk).
 
 ``AlikedEncoder`` is the multi-scale conv/res/DCN trunk: two conv blocks,
-two deformable res blocks at strides 1/2/4/8, each scale projected to
-``dim // 4`` channels, bilinearly upsampled to full resolution, concatenated
-and SELU-gated (reference backbone_encoder.py:55-180; identical topology to
-the repo's ALIKED extractor trunk, kept here as a standalone reusable
-module). ``make_backbone`` is the selector used by the JPLDD/POLD2
+two deformable res blocks, each scale projected to ``dim // 4`` channels,
+bilinearly upsampled to full resolution, concatenated and SELU-gated
+(reference backbone_encoder.py:55-180).
+
+INTENTIONAL DEVIATION from the reference scale schedule: the reference
+stacks pool2/pool4/pool4 (scales 1/2/8/32) with ResBlocks at blocks 2-4;
+this trunk uses strides 1/2/4/8 with a plain ConvBlock at block2 — a
+denser pyramid whose receptive field tops out at H/8 instead of H/32,
+which preserves thin structures (lines/junctions) for the JPLDD/POLD2
+consumers at the cost of less global context. Official ALIKED encoder
+weights therefore do NOT graft into this module — the weight-compatible
+topology lives in extractors/aliked.py (CompatResBlock + converter).
+``make_backbone`` is the selector used by the JPLDD/POLD2
 ``backbone.name`` conf slot.
 
 TPU notes: NHWC throughout; average-pool downsampling and bilinear

@@ -82,8 +82,15 @@ class _Block(nn.Module):
         gamma1 = self.param("ls1_gamma", nn.initializers.ones, (d,))
         x = x + gamma1 * o
         y = nn.LayerNorm(name="norm2")(x)
-        mlp_cls = _SwiGLU if self.mlp_type == "swiglufused" else _Mlp
-        y = mlp_cls(d, 4 * d, name="mlp")(y)
+        if self.mlp_type == "swiglufused":
+            # official dinov2 SwiGLUFFNFused: hidden = round-up-to-8 of
+            # (4*d * 2/3) — 4096 for d=1536, NOT 4*d (the torch w12 weight is
+            # (2*4096, 1536); declaring 4*d here would break the converter's
+            # exact-parity drop-in for vitg14)
+            hidden = (int(4 * d * 2 / 3) + 7) // 8 * 8
+            y = _SwiGLU(d, hidden, name="mlp")(y)
+        else:
+            y = _Mlp(d, 4 * d, name="mlp")(y)
         gamma2 = self.param("ls2_gamma", nn.initializers.ones, (d,))
         return x + gamma2 * y
 
@@ -169,11 +176,19 @@ class DinoV2(BaseModel):
         image = data["image"]
         if image.shape[-1] == 1:
             image = jnp.repeat(image, 3, axis=-1)  # ViT expects RGB
+        b, h, w, c = image.shape
         if self.conf.allow_resize:
-            b, h, w, c = image.shape
             image = jax.image.resize(
                 image, (b, h // PATCH * PATCH, w // PATCH * PATCH, c),
                 "bilinear",
+            )
+        elif h % PATCH or w % PATCH:
+            # the VALID-padded patch conv would silently drop up to 13 border
+            # px and spatially misalign downstream features (the official
+            # torch ViT asserts on this too)
+            raise ValueError(
+                f"DINOv2 input {h}x{w} is not a multiple of {PATCH}; set "
+                "allow_resize=true or pad/crop the input"
             )
         feats, cls_token = self.net(image)
         return {

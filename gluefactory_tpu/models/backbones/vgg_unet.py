@@ -52,10 +52,15 @@ class VGGUNet(nn.Module):
         for i, s in enumerate(sizes[1:], start=2):
             down = nn.avg_pool(feats[-1], (2, 2), strides=(2, 2))
             feats.append(_DoubleConv(s, name=f"block{i}")(down))
-        # decoder: deepest block first, then upsample + skip concat
+        # decoder: deepest block first, then upsample + skip concat.
+        # channel schedule matches the reference's decoder blocks (vgg_unet
+        # deblock3: s2->s1, deblock2: s1->s0, deblock1: s0->s0) — one step
+        # narrower than an earlier revision that carried 2-4x the params
+        mids = sizes[:-1][::-1]
+        outs = [sizes[1], sizes[0], sizes[0]]
         out = _DoubleConv(sizes[2], name="deblock4")(feats[-1])
         for i, (s_mid, s_out, skip) in enumerate(
-            zip(sizes[1:][::-1], sizes[:-1][::-1], feats[:-1][::-1])
+            zip(mids, outs, feats[:-1][::-1])
         ):
             b, h, w, _ = skip.shape
             up = jax.image.resize(out, (b, h, w, out.shape[-1]), "bilinear")

@@ -99,6 +99,21 @@ class SuperPoint(BaseModel):
             "desc_margin_pos": 1.0,
             "desc_margin_neg": 0.2,
             "desc_cell_dist": 8.0,  # px distance making a cell pair positive
+            # keypoint-level InfoNCE over detected correspondences (both
+            # directions): far finer-grained than the 8x8 cell hinge — two
+            # detections a few px apart become in-batch negatives of each
+            # other, which the cell hinge cannot express
+            # (reference geometry/desc_losses.py:90-170 nll recipe)
+            "desc_nll_weight": 0.0,
+            "desc_nll_temp": 0.1,
+            "desc_match_th": 3.0,  # px radius for a GT detection pair
+            # CAPS expected-position window loss: correlate each detection's
+            # descriptor with the OTHER view's dense map around the warped
+            # position; trains sub-cell descriptor discrimination
+            # (reference desc_losses.py:180-286)
+            "desc_caps_weight": 0.0,
+            "desc_caps_window": 24.0,  # px (full-res) window extent
+            "desc_caps_temp": 0.07,
             # sub-pixel localization: soft-argmax of the heatmap around each
             # detection should land on the matched GT corner (reference
             # geometry/kp_losses.py:soft_argmax_loss:60). radius=2 matches
@@ -269,6 +284,77 @@ class SuperPoint(BaseModel):
                     )
                     losses[f"kp_peaky{i}"] = pk_loss
                     total = total + float(conf.peaky_weight) * pk_loss / 2.0
+
+        nll_w = float(conf.get("desc_nll_weight", 0.0))
+        caps_w = float(conf.get("desc_caps_weight", 0.0))
+        if self.conf.has_descriptor and self.conf.has_detector and (
+            nll_w > 0 or caps_w > 0
+        ):
+            from ...models.utils.desc_losses import caps_window_loss, nll_desc_loss
+
+            H = data["H_0to1"]
+            Hinv = jnp.linalg.inv(H)
+            # index-coordinate detections (strip the +0.5 pixel-center shift)
+            kp0 = pred["keypoints0"] - 0.5
+            kp1 = pred["keypoints1"] - 0.5
+            v0 = pred["keypoint_valid0"]
+            v1 = pred["keypoint_valid1"]
+            d0s = pred["descriptors0"]
+            d1s = pred["descriptors1"]
+            wkp0 = warp_points(kp0, H)
+            wkp1 = warp_points(kp1, Hinv)
+            b = kp0.shape[0]
+            hc1, wc1 = pred["descriptors_dense1"].shape[1:3]
+            s1 = jnp.array([wc1 * 8.0, hc1 * 8.0], jnp.float32)
+            in1 = (wkp0 >= 0.0).all(-1) & (wkp0 <= s1 - 1.0).all(-1)
+            hc0, wc0 = pred["descriptors_dense0"].shape[1:3]
+            s0 = jnp.array([wc0 * 8.0, hc0 * 8.0], jnp.float32)
+            in0 = (wkp1 >= 0.0).all(-1) & (wkp1 <= s0 - 1.0).all(-1)
+            if nll_w > 0:
+                th2 = float(conf.desc_match_th) ** 2
+                big = 1e12
+                d2 = jnp.sum((wkp0[:, :, None, :] - kp1[:, None, :, :]) ** 2, -1)
+                d2 = jnp.where(v1[:, None, :], d2, big)
+                d2 = jnp.where(v0[:, :, None], d2, big)
+                j01 = jnp.argmin(d2, axis=2)
+                ok01 = (jnp.min(d2, axis=2) < th2) & v0 & in1
+                i10 = jnp.argmin(d2, axis=1)
+                ok10 = (jnp.min(d2, axis=1) < th2) & v1 & in0
+                # mutual consistency: i10[j01[i]] == i keeps only clean pairs
+                mut01 = jnp.take_along_axis(i10, j01, axis=1) == jnp.arange(
+                    kp0.shape[1]
+                )[None]
+                mut10 = jnp.take_along_axis(j01, i10, axis=1) == jnp.arange(
+                    kp1.shape[1]
+                )[None]
+                m0 = jnp.where(ok01 & mut01, j01, -1)
+                m1 = jnp.where(ok10 & mut10, i10, -1)
+                t = float(conf.desc_nll_temp)
+                nll = 0.5 * (
+                    nll_desc_loss(d0s, d1s, m0, temperature=t, valid0=v0)
+                    + nll_desc_loss(d1s, d0s, m1, temperature=t, valid0=v1)
+                )
+                losses["desc_nll"] = nll
+                total = total + nll_w * nll
+                metrics["desc_nll_pairs"] = (m0 >= 0).sum(-1).astype(jnp.float32)
+            if caps_w > 0:
+                # dense maps are stride-8 with cell centers at index 3.5+8i
+                caps = 0.5 * (
+                    caps_window_loss(
+                        d0s, (wkp0 - 3.5) / 8.0, pred["descriptors_dense1"],
+                        window=float(conf.desc_caps_window) / 8.0,
+                        temperature=float(conf.desc_caps_temp),
+                        valid0=v0 & in1,
+                    )
+                    + caps_window_loss(
+                        d1s, (wkp1 - 3.5) / 8.0, pred["descriptors_dense0"],
+                        window=float(conf.desc_caps_window) / 8.0,
+                        temperature=float(conf.desc_caps_temp),
+                        valid0=v1 & in0,
+                    )
+                )
+                losses["desc_caps"] = caps
+                total = total + caps_w * caps
 
         if self.conf.has_descriptor and float(conf.desc_weight) > 0:
             d0 = pred["descriptors_dense0"]

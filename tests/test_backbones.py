@@ -58,7 +58,7 @@ torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 
 
-def _rand_state_dinov2(d=32, depth=2, grid=2):
+def _rand_state_dinov2(d=32, depth=2, grid=2, swiglu=False):
     t = lambda *s: torch.randn(*s) * 0.2  # noqa: E731
     sd = {
         "cls_token": t(1, 1, d),
@@ -80,12 +80,24 @@ def _rand_state_dinov2(d=32, depth=2, grid=2):
             f"{p}.ls1.gamma": torch.rand(d) * 0.5 + 0.5,
             f"{p}.norm2.weight": torch.rand(d) + 0.5,
             f"{p}.norm2.bias": t(d) * 0.1,
-            f"{p}.mlp.fc1.weight": t(4 * d, d),
-            f"{p}.mlp.fc1.bias": t(4 * d) * 0.1,
-            f"{p}.mlp.fc2.weight": t(d, 4 * d),
-            f"{p}.mlp.fc2.bias": t(d) * 0.1,
             f"{p}.ls2.gamma": torch.rand(d) * 0.5 + 0.5,
         })
+        if swiglu:
+            # official SwiGLUFFNFused hidden size (dinov2 vitg14 recipe)
+            hidden = (int(4 * d * 2 / 3) + 7) // 8 * 8
+            sd.update({
+                f"{p}.mlp.w12.weight": t(2 * hidden, d),
+                f"{p}.mlp.w12.bias": t(2 * hidden) * 0.1,
+                f"{p}.mlp.w3.weight": t(d, hidden),
+                f"{p}.mlp.w3.bias": t(d) * 0.1,
+            })
+        else:
+            sd.update({
+                f"{p}.mlp.fc1.weight": t(4 * d, d),
+                f"{p}.mlp.fc1.bias": t(4 * d) * 0.1,
+                f"{p}.mlp.fc2.weight": t(d, 4 * d),
+                f"{p}.mlp.fc2.bias": t(d) * 0.1,
+            })
     return sd
 
 
@@ -117,8 +129,15 @@ def _torch_forward_dinov2(sd, image, heads=2):
         )
         x = x + sd[f"{p}.ls1.gamma"] * o
         y = F.layer_norm(x, (d,), sd[f"{p}.norm2.weight"], sd[f"{p}.norm2.bias"])
-        m = F.linear(y, sd[f"{p}.mlp.fc1.weight"], sd[f"{p}.mlp.fc1.bias"])
-        m = F.linear(F.gelu(m), sd[f"{p}.mlp.fc2.weight"], sd[f"{p}.mlp.fc2.bias"])
+        if f"{p}.mlp.w12.weight" in sd:  # SwiGLUFFNFused (vitg14)
+            m12 = F.linear(y, sd[f"{p}.mlp.w12.weight"], sd[f"{p}.mlp.w12.bias"])
+            x1, x2 = m12.chunk(2, -1)
+            m = F.linear(F.silu(x1) * x2, sd[f"{p}.mlp.w3.weight"],
+                         sd[f"{p}.mlp.w3.bias"])
+        else:
+            m = F.linear(y, sd[f"{p}.mlp.fc1.weight"], sd[f"{p}.mlp.fc1.bias"])
+            m = F.linear(F.gelu(m), sd[f"{p}.mlp.fc2.weight"],
+                         sd[f"{p}.mlp.fc2.bias"])
         x = x + sd[f"{p}.ls2.gamma"] * m
     x = F.layer_norm(x, (d,), sd["norm.weight"], sd["norm.bias"])
     feats = x[:, 1:].reshape(b, gh, gw, d)
@@ -149,6 +168,42 @@ def test_dinov2_converter_parity():
         np.asarray(out["global_descriptor"]), cls_t.numpy(), atol=2e-4,
         rtol=1e-3,
     )
+
+
+def test_dinov2_swiglufused_converter_parity():
+    """vitg14-class SwiGLU-fused MLP: hidden = round8(4*d*2/3), not 4*d —
+    the converter must drop official w12/w3 weights in without shape errors
+    (round-2 advisor finding)."""
+    from gluefactory_tpu.models.backbones.dinov2 import torch_weight_converter
+
+    torch.manual_seed(21)
+    d, depth, heads, grid = 24, 2, 2, 2
+    sd = _rand_state_dinov2(d=d, depth=depth, grid=grid, swiglu=True)
+    img_t = torch.randn(1, 3, 28, 28) * 0.5
+    feats_t, cls_t = _torch_forward_dinov2(sd, img_t, heads=heads)
+
+    model = build_model(
+        "backbones.dinov2",
+        {"weights": "dinov2_vitg14", "dim": d, "depth": depth,
+         "heads": heads, "pos_grid": grid},
+    )
+    params = torch_weight_converter({k: v.numpy() for k, v in sd.items()})
+    img_j = jnp.asarray(img_t.permute(0, 2, 3, 1).numpy())
+    out = model.apply(params, {"image": img_j})
+    np.testing.assert_allclose(
+        np.asarray(out["features"]), feats_t.numpy(), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_dinov2_rejects_nondivisible_input():
+    model = build_model(
+        "backbones.dinov2",
+        {"dim": 16, "depth": 1, "heads": 2, "pos_grid": 2,
+         "allow_resize": False},
+    )
+    img = jnp.zeros((1, 30, 28, 1), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 14"):
+        model.init(jax.random.PRNGKey(0), {"image": img})
 
 
 def test_jpldd_external_backbone():
