@@ -2,7 +2,8 @@
 two-view pipeline (1024 keypoints, 9 matcher layers, 512x512 images).
 
 Prints ONE JSON line at the very end:
-  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N, ...}
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N,
+   "mfu": ..., "flops_per_pair": ..., "variants": {...}, "attempts": [...]}
 
 Outage-proofing (the axon TPU tunnel wedges for 40-60 min at a time):
   - the backend probe retries with backoff for up to GFTPU_BENCH_BUDGET
@@ -13,10 +14,21 @@ Outage-proofing (the axon TPU tunnel wedges for 40-60 min at a time):
   - the attempt log (probe timings, per-variant status) is embedded in the
     JSON for the record.
 
-Variants: f32 XLA attention (headline, always), bf16 (attempted, timeout
-guarded), Pallas fused attention (only when GFTPU_BENCH_PALLAS=1 or running
-with direct TPU access — a hung Mosaic remote-compile can wedge the shared
-tunnel for other processes, see CLAUDE.md).
+Variants (headline first, extras best-effort within budget):
+  - f32 / bf16 XLA inference at batch 8, plus a batch sweep (f32@32,
+    matcher_only@{32,128}) — HBM-bandwidth-bound pipelines leave MXU idle at
+    small batch, the sweep quantifies it;
+  - matcher_only: LightGlue 9L @ 1024 kp on pre-extracted descriptors;
+  - train_bf16: ONE full training step (fwd+bwd+adam, bf16 compute / f32
+    params+accum — ≙ the reference's AMP train loop, reference train.py:331)
+    of SP(frozen)+LightGlue-6L with in-jit homography GT;
+  - pallas fused attention — only with direct TPU access; through the tunnel
+    the attempt is recorded as blocked_by_tunnel (a hung Mosaic
+    remote-compile wedges the shared tunnel for other processes).
+
+Every successful variant reports flops_per_pair (jax Lowered.cost_analysis)
+and mfu = achieved_flops/s over the chip's bf16 peak — the speed-of-light
+accounting BASELINE.md asks for.
 
 Baseline: the reference stack (SuperPoint+LightGlue, torch, FlashAttention)
 reports ~55 fps end-to-end pair throughput on an RTX 3090 at 1024 keypoints
@@ -35,42 +47,79 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent))
 
 BASELINE_PAIRS_PER_S = 55.0
-BATCH = 8
-IMAGE_SIZE = 512
-WARMUP = 3
-ITERS = 10
+IMAGE_SIZE = int(os.environ.get("GFTPU_BENCH_SIZE", 512))
+WARMUP = int(os.environ.get("GFTPU_BENCH_WARMUP", 3))
+ITERS = int(os.environ.get("GFTPU_BENCH_ITERS", 10))
+
+# chip bf16 peak matmul throughput (FLOP/s) by device_kind substring
+PEAK_FLOPS = [
+    ("v6", 918e12),  # Trillium / v6e
+    ("v5p", 459e12),
+    ("v5 lite", 197e12),  # v5e
+    ("v5e", 197e12),
+    ("v5", 459e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+]
 
 
-def _probe_once(timeout_s: float) -> bool:
-    """Trivial matmul in a daemon thread — a wedged tunnel never returns."""
-    import threading
+def _peak_flops() -> float | None:
+    import jax
 
-    ok = {"done": False}
-
-    def probe():
-        import jax.numpy as jnp
-
-        float((jnp.ones((64, 64)) @ jnp.ones((64, 64))).sum())
-        ok["done"] = True
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return ok["done"]
+    if os.environ.get("GFTPU_PEAK_FLOPS"):
+        return float(os.environ["GFTPU_PEAK_FLOPS"])
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        return None
+    kind = getattr(dev, "device_kind", "").lower()
+    for sub, peak in PEAK_FLOPS:
+        if sub in kind:
+            return peak
+    return None
 
 
-def run_variant(variant: str) -> float:
-    """Measure one configuration; returns pairs/s. Runs inside a worker
+def _cost_flops(lowered) -> float | None:
+    """Total graph FLOPs from the lowering's cost analysis (pre-execution —
+    works even when the backend is a remote tunnel)."""
+    try:
+        cost = lowered.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = cost.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
+
+
+def _finish(batch: int, fn, args, checks: list[float], dt: float) -> dict:
+    import numpy as np
+
+    assert all(np.isfinite(c) for c in checks)
+    pairs_per_s = batch * ITERS / dt
+    out = {"pairs_per_s": round(pairs_per_s, 2), "batch": batch}
+    flops = _cost_flops(fn.lower(*args))
+    if flops:
+        out["flops_per_pair"] = round(flops / batch, 0)
+        peak = _peak_flops()
+        if peak:
+            out["mfu"] = round(flops * ITERS / dt / peak, 4)
+    return out
+
+
+def run_variant(variant: str, batch: int) -> dict:
+    """Measure one configuration; returns a stats dict. Runs inside a worker
     subprocess (see __main__)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    from __graft_entry__ import _flagship_conf
+    from __graft_entry__ import _flagship_conf, _synthetic_batch
     from gluefactory_tpu.models import build_model
 
     if variant == "matcher_only":
-        return _run_matcher_only()
+        return _run_matcher_only(batch)
+    if variant.startswith("train_"):
+        return _run_train_step(variant.removeprefix("train_"), batch)
 
     conf = _flagship_conf(tiny=False)
     if variant == "bf16":
@@ -86,14 +135,14 @@ def run_variant(variant: str) -> float:
         # (no cache can serve it) and nothing rides the host link.
         key = jax.random.key(seed)
         k0, k1 = jax.random.split(key)
-        size = jnp.full((BATCH, 2), float(IMAGE_SIZE), jnp.float32)
+        size = jnp.full((batch, 2), float(IMAGE_SIZE), jnp.float32)
         data = {
             "view0": {
-                "image": jax.random.uniform(k0, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)),
+                "image": jax.random.uniform(k0, (batch, IMAGE_SIZE, IMAGE_SIZE, 3)),
                 "image_size": size,
             },
             "view1": {
-                "image": jax.random.uniform(k1, (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)),
+                "image": jax.random.uniform(k1, (batch, IMAGE_SIZE, IMAGE_SIZE, 3)),
                 "image_size": size,
             },
         }
@@ -107,21 +156,17 @@ def run_variant(variant: str) -> float:
             + jnp.sum(pred["keypoints1"])
         )
 
-    from __graft_entry__ import _synthetic_batch
-
-    data = _synthetic_batch(BATCH, IMAGE_SIZE, with_h=False)
+    data = _synthetic_batch(batch, IMAGE_SIZE, with_h=False)
     params = model.init(jax.random.key(0), data)
     for i in range(WARMUP):
         float(fwd_sum(params, i))
     t0 = time.perf_counter()
-    outs = [fwd_sum(params, WARMUP + i) for i in range(ITERS)]
-    checks = [float(x) for x in outs]
+    checks = [float(fwd_sum(params, WARMUP + i)) for i in range(ITERS)]
     dt = time.perf_counter() - t0
-    assert all(np.isfinite(c) for c in checks)
-    return BATCH * ITERS / dt
+    return _finish(batch, fwd_sum, (params, 0), checks, dt)
 
 
-def _run_matcher_only() -> float:
+def _run_matcher_only(batch: int) -> dict:
     """LightGlue 9L @ 1024 kp on pre-extracted descriptors — the matcher
     kernel's serving throughput (cached-feature / feature-store regime)."""
     import jax
@@ -133,63 +178,97 @@ def _run_matcher_only() -> float:
         "checkpointed": False, "save_layer_outputs": False})
     n = 1024
 
+    def make_data(key):
+        ks = jax.random.split(key, 4)
+        d0 = jax.random.normal(ks[0], (batch, n, 256))
+        d1 = jax.random.normal(ks[1], (batch, n, 256))
+        return {
+            "keypoints0": jax.random.uniform(
+                ks[2], (batch, n, 2), maxval=float(IMAGE_SIZE)),
+            "keypoints1": jax.random.uniform(
+                ks[3], (batch, n, 2), maxval=float(IMAGE_SIZE)),
+            "descriptors0": d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True),
+            "descriptors1": d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True),
+            "view0": {"image_size": jnp.full((batch, 2), float(IMAGE_SIZE))},
+            "view1": {"image_size": jnp.full((batch, 2), float(IMAGE_SIZE))},
+        }
+
     @jax.jit
     def fwd_sum(params, seed):
-        key = jax.random.key(seed)
-        ks = jax.random.split(key, 4)
-        d0 = jax.random.normal(ks[0], (BATCH, n, 256))
-        d1 = jax.random.normal(ks[1], (BATCH, n, 256))
-        d0 = d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True)
-        d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
-        data = {
-            "keypoints0": jax.random.uniform(
-                ks[2], (BATCH, n, 2), maxval=float(IMAGE_SIZE)),
-            "keypoints1": jax.random.uniform(
-                ks[3], (BATCH, n, 2), maxval=float(IMAGE_SIZE)),
-            "descriptors0": d0, "descriptors1": d1,
-            "view0": {"image_size": jnp.full((BATCH, 2), float(IMAGE_SIZE))},
-            "view1": {"image_size": jnp.full((BATCH, 2), float(IMAGE_SIZE))},
-        }
+        data = make_data(jax.random.key(seed))
         pred = model.apply(params, data)
         return jnp.sum(pred["matching_scores0"])
 
+    params = model.init(jax.random.key(0), make_data(jax.random.key(123)))
+    for i in range(WARMUP):
+        float(fwd_sum(params, i))
+    t0 = time.perf_counter()
+    checks = [float(fwd_sum(params, WARMUP + i)) for i in range(ITERS)]
+    dt = time.perf_counter() - t0
+    return _finish(batch, fwd_sum, (params, 0), checks, dt)
+
+
+def _run_train_step(dtype: str, batch: int) -> dict:
+    """One full optimizer step (fwd+bwd+adam) of SP(frozen)+LightGlue-6L with
+    in-jit homography ground truth. dtype='bf16' runs the networks in
+    bfloat16 compute with f32 params/accumulators (AMP-equivalent,
+    reference train.py:331-338); dtype='f32' is the plain step."""
+    import jax
     import numpy as np
 
-    params_key = jax.random.key(0)
-    # init needs one concrete batch (same structure as inside fwd_sum)
-    k = jax.random.key(123)
-    ks = jax.random.split(k, 4)
-    d0 = jax.random.normal(ks[0], (BATCH, n, 256))
-    data = {
-        "keypoints0": jax.random.uniform(ks[2], (BATCH, n, 2),
-                                         maxval=float(IMAGE_SIZE)),
-        "keypoints1": jax.random.uniform(ks[3], (BATCH, n, 2),
-                                         maxval=float(IMAGE_SIZE)),
-        "descriptors0": d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True),
-        "descriptors1": d0 / jnp.linalg.norm(d0, axis=-1, keepdims=True),
-        "view0": {"image_size": jnp.full((BATCH, 2), float(IMAGE_SIZE))},
-        "view1": {"image_size": jnp.full((BATCH, 2), float(IMAGE_SIZE))},
-    }
-    model_params = model.init(params_key, data)
-    for i in range(WARMUP):
-        float(fwd_sum(model_params, i))
+    from __graft_entry__ import _flagship_conf, _synthetic_batch
+    from gluefactory_tpu.core.config import Config
+    from gluefactory_tpu.models import build_model
+    from gluefactory_tpu.train import (
+        default_train_conf,
+        filter_batch,
+        make_optimizer,
+        make_train_step,
+    )
+
+    conf = _flagship_conf(tiny=False)
+    # per-layer outputs feed LightGlue's inter-layer supervision in loss()
+    conf["matcher"].update({"n_layers": 6, "save_layer_outputs": True})
+    conf["ground_truth"] = {"name": "matchers.homography_matcher"}
+    conf["run_gt_in_forward"] = True
+    if dtype == "bf16":
+        conf["extractor"]["dtype"] = "bf16"
+        conf["matcher"]["dtype"] = "bf16"
+    model = build_model("two_view_pipeline", conf)
+    data = _synthetic_batch(batch, IMAGE_SIZE, with_h=True)
+    params = model.init(jax.random.key(0), data, method=model.forward_and_loss)
+    train_conf = Config(default_train_conf)
+    tx, _ = make_optimizer(train_conf, params, Config(conf))
+    opt_state = tx.init(params)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("data",))
+    step, shard_batch, repl = make_train_step(model, tx, mesh)
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+    data = shard_batch(filter_batch(data))
+    # warmup (compile) + measure; the scalar fetch forces execution
+    for _ in range(2):
+        params, opt_state, scalars = step(params, opt_state, data)
+        assert np.isfinite(float(np.asarray(scalars["loss/total"])))
     t0 = time.perf_counter()
-    checks = [float(fwd_sum(model_params, WARMUP + i)) for i in range(ITERS)]
+    checks = []
+    for _ in range(ITERS):
+        params, opt_state, scalars = step(params, opt_state, data)
+        checks.append(float(np.asarray(scalars["loss/total"])))
     dt = time.perf_counter() - t0
-    assert all(np.isfinite(c) for c in checks)
-    return BATCH * ITERS / dt
+    return _finish(batch, step, (params, opt_state, data), checks, dt)
 
 
-def _worker_main(variant: str):
-    val = run_variant(variant)
-    print(json.dumps({"worker_pairs_per_s": val}))
+def _worker_main(variant: str, batch: int):
+    stats = run_variant(variant, batch)
+    print(json.dumps({"worker_stats": stats}))
 
 
-def _spawn_variant(variant: str, timeout_s: float) -> tuple[float | None, str]:
-    """Run a variant in a subprocess; returns (pairs/s | None, status)."""
+def _spawn_variant(variant: str, batch: int, timeout_s: float) -> tuple[dict | None, str]:
+    """Run a variant in a subprocess; returns (stats | None, status)."""
     try:
         proc = subprocess.run(
-            [sys.executable, str(Path(__file__).resolve()), "--worker", variant],
+            [sys.executable, str(Path(__file__).resolve()), "--worker",
+             variant, str(batch)],
             capture_output=True, text=True, timeout=timeout_s,
             cwd=str(Path(__file__).parent),
         )
@@ -200,7 +279,7 @@ def _spawn_variant(variant: str, timeout_s: float) -> tuple[float | None, str]:
         return None, f"rc={proc.returncode}: {tail}"
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
-            return float(json.loads(line)["worker_pairs_per_s"]), "ok"
+            return json.loads(line)["worker_stats"], "ok"
         except (json.JSONDecodeError, KeyError, ValueError):
             continue
     return None, "no-output"
@@ -242,28 +321,41 @@ def main():
         remaining = budget - (time.monotonic() - t_start)
         if remaining < 300:
             break
-        val, status = _spawn_variant("f32", min(1500.0, remaining))
+        val, status = _spawn_variant("f32", 8, min(1500.0, remaining))
         attempts.append({"t": round(time.monotonic() - t_start, 1),
                          "variant": "f32", "status": status})
         if val is not None:
-            variants["f32_xla"] = {"pairs_per_s": round(val, 2)}
+            variants["f32_xla"] = val
             break
         time.sleep(90.0 * (attempt + 1))
     # --- extra variants (best-effort, never jeopardize the headline) -------
-    extra = ["matcher_only", "bf16"]
+    extra: list[tuple[str, str, int]] = [
+        ("bf16", "bf16", 8),
+        ("matcher_only", "matcher_only", 8),
+        ("bf16_b32", "bf16", 32),
+        ("matcher_only_b128", "matcher_only", 128),
+        ("train_bf16", "train_bf16", 8),
+    ]
+    on_tunnel = bool(os.environ.get("PALLAS_AXON_REMOTE_COMPILE"))
     if os.environ.get("GFTPU_BENCH_PALLAS") == "1" or (
-        backend == "tpu" and not os.environ.get("PALLAS_AXON_REMOTE_COMPILE")
+        backend == "tpu" and not on_tunnel
     ):
-        extra.append("pallas")
-    for variant in extra:
+        extra.append(("pallas", "pallas", 8))
+    elif backend == "tpu":
+        # record WHY the flagship kernel is off (round-2 verdict ask #10):
+        # Mosaic compiles hang through the axon remote-compile tunnel and can
+        # wedge it for every process (see CLAUDE.md)
+        attempts.append({"t": round(time.monotonic() - t_start, 1),
+                         "variant": "pallas", "status": "blocked_by_tunnel"})
+    for name, variant, batch in extra:
         remaining = budget - (time.monotonic() - t_start)
         if remaining < 400 or "f32_xla" not in variants:
             break
-        val, status = _spawn_variant(variant, min(900.0, remaining - 60))
+        val, status = _spawn_variant(variant, batch, min(900.0, remaining - 60))
         attempts.append({"t": round(time.monotonic() - t_start, 1),
-                         "variant": variant, "status": status})
+                         "variant": name, "status": status})
         if val is not None:
-            variants[variant] = {"pairs_per_s": round(val, 2)}
+            variants[name] = val
 
     if not variants:
         print(json.dumps({
@@ -272,23 +364,47 @@ def main():
             "attempts": attempts,
         }))
         os._exit(0)
-    pipeline_variants = {k: v for k, v in variants.items()
-                         if k != "matcher_only"}
+    pipeline_variants = {
+        k: v for k, v in variants.items()
+        if not k.startswith(("matcher_only", "train_"))
+    }
     best_name, best = max(
         pipeline_variants.items(), key=lambda kv: kv[1]["pairs_per_s"])
     val = best["pairs_per_s"]
-    print(json.dumps({
+    out = {
         "metric": f"sp+lightglue_pair_throughput_{backend}_{best_name}",
         "value": val,
         "unit": "pairs/s",
         "vs_baseline": round(val / BASELINE_PAIRS_PER_S, 3),
         "variants": variants,
         "attempts": attempts,
-    }))
+    }
+    for k in ("mfu", "flops_per_pair"):
+        if k in best:
+            out[k] = best[k]
+    print(json.dumps(out))
+
+
+def _probe_once(timeout_s: float) -> bool:
+    """Trivial matmul in a daemon thread — a wedged tunnel never returns."""
+    import threading
+
+    ok = {"done": False}
+
+    def probe():
+        import jax.numpy as jnp
+
+        float((jnp.ones((64, 64)) @ jnp.ones((64, 64))).sum())
+        ok["done"] = True
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok["done"]
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
-        _worker_main(sys.argv[2])
+        _worker_main(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 8)
     else:
         main()

@@ -130,6 +130,23 @@ class HPatchesPipeline(EvalPipeline):
         results["H_error_ransac"] = [
             r["H_error_ransac"] for r in pose_results[best_th]
         ]
+        # per-split reporting when both HPatches splits are present
+        # (reference hpatches semantics: i_ = illumination, v_ = viewpoint)
+        names = results["names"]
+        for prefix in ("i_", "v_"):
+            sel = [i for i, n in enumerate(names) if str(n).startswith(prefix)]
+            if not sel or len(sel) == len(names):
+                continue
+            errs = [results["H_error_ransac"][i] for i in sel]
+            errs = [e if np.isfinite(e) else 1e6 for e in errs]
+            aucs = AUCMetric([1, 3, 5], errs).compute()
+            summaries[f"H_error_ransac_mAA_{prefix.rstrip('_')}"] = round(
+                float(np.mean(aucs)) * 100, 3
+            )
+            prec = [results["prec@1px"][i] for i in sel]
+            summaries[f"mprec@1px_{prefix.rstrip('_')}"] = round(
+                float(np.nanmean(prec)), 3
+            )
         return summaries, {}, dict(results)
 
 

@@ -69,7 +69,9 @@ def soft_argmax_loc_loss(
     sx = cx.astype(jnp.float32) + jnp.sum(p * dx, axis=-1)
     sy = cy.astype(jnp.float32) + jnp.sum(p * dy, axis=-1)
     refined = jnp.stack([sx, sy], axis=-1)
-    d = jnp.linalg.norm(refined - gt_keypoints, axis=-1)
+    # eps-smoothed: norm has a NaN gradient at exactly-zero residual, which
+    # a masked (0-weight) slot still propagates through 0*NaN
+    d = jnp.sqrt(jnp.sum((refined - gt_keypoints) ** 2, axis=-1) + 1e-12)
     ok = valid & (jnp.linalg.norm(keypoints - gt_keypoints, axis=-1) < max_dist)
     w = ok.astype(heatmap.dtype)
     return jnp.sum(d * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)

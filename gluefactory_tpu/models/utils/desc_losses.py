@@ -90,7 +90,10 @@ def caps_window_loss(
     corr = jnp.einsum("bnd,bnkd->bnk", desc0, feats) / temperature
     p = jnp.exp(corr - _logsumexp(corr, axis=-1))
     expected = jnp.einsum("bnk,kc->bnc", p, offsets)
-    err = jnp.linalg.norm(expected, axis=-1)  # GT offset is 0 by construction
+    # GT offset is 0 by construction. eps-smoothed norm: a fully-clamped
+    # out-of-image window gives identical taps -> uniform p -> expected == 0
+    # exactly, where d|v|/dv is NaN and even a 0 mask weight propagates it
+    err = jnp.sqrt(jnp.sum(expected**2, axis=-1) + 1e-12)
     if valid0 is None:
         valid0 = jnp.ones(err.shape, bool)
     w = valid0.astype(err.dtype)
