@@ -59,6 +59,15 @@ class JPLDD(BaseModel):
             "af_weight": 1.0,
             "desc_weight": 1.0,
             "pos_weight": 200.0,  # positive-pixel upweight for sparse heatmaps
+            # two-view SDDH descriptor training (phase B, used inside
+            # two_view_pipeline on the homography engine with the trunk
+            # frozen via train.lr_scaling): keypoint-level InfoNCE over
+            # mutually-consistent detected correspondences — the in-repo
+            # replacement for the reference's ALIKED-teacher distillation
+            # (reference joint_point_line_extractor.py:534-780)
+            "desc_nll_weight": 0.0,
+            "desc_nll_temp": 0.1,
+            "desc_match_th": 3.0,
         },
     }
     required_data_keys: ClassVar[list] = ["image"]
@@ -186,8 +195,32 @@ class JPLDD(BaseModel):
     def loss(self, pred: dict, data: dict):
         conf = self.conf.loss
         losses = {}
-        b = pred["heatmap"].shape[0]
+        heat = pred.get("heatmap", pred.get("heatmap0"))
+        b = heat.shape[0]
         total = jnp.zeros((b,))
+        # ---- two-view descriptor InfoNCE (suffixed keys from the pipeline)
+        if (
+            float(conf.get("desc_nll_weight", 0.0)) > 0
+            and "H_0to1" in data and "keypoints0" in pred
+        ):
+            from ..utils.desc_losses import mutual_detected_matches, nll_desc_loss
+
+            kp0 = pred["keypoints0"] - 0.5
+            kp1 = pred["keypoints1"] - 0.5
+            v0, v1 = pred["keypoint_valid0"], pred["keypoint_valid1"]
+            m0, m1 = mutual_detected_matches(
+                kp0, kp1, v0, v1, data["H_0to1"],
+                th=float(conf.desc_match_th),
+            )
+            t = float(conf.desc_nll_temp)
+            nll = 0.5 * (
+                nll_desc_loss(pred["descriptors0"], pred["descriptors1"], m0,
+                              temperature=t, valid0=v0)
+                + nll_desc_loss(pred["descriptors1"], pred["descriptors0"], m1,
+                                temperature=t, valid0=v1)
+            )
+            losses["desc_nll"] = nll
+            total = total + float(conf.desc_nll_weight) * nll
         # ---- keypoint heatmap --------------------------------------------
         if "gt_heatmap" in data:
             gt = data["gt_heatmap"]

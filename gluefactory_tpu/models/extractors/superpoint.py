@@ -290,7 +290,11 @@ class SuperPoint(BaseModel):
         if self.conf.has_descriptor and self.conf.has_detector and (
             nll_w > 0 or caps_w > 0
         ):
-            from ...models.utils.desc_losses import caps_window_loss, nll_desc_loss
+            from ...models.utils.desc_losses import (
+                caps_window_loss,
+                mutual_detected_matches,
+                nll_desc_loss,
+            )
 
             H = data["H_0to1"]
             Hinv = jnp.linalg.inv(H)
@@ -311,24 +315,9 @@ class SuperPoint(BaseModel):
             s0 = jnp.array([wc0 * 8.0, hc0 * 8.0], jnp.float32)
             in0 = (wkp1 >= 0.0).all(-1) & (wkp1 <= s0 - 1.0).all(-1)
             if nll_w > 0:
-                th2 = float(conf.desc_match_th) ** 2
-                big = 1e12
-                d2 = jnp.sum((wkp0[:, :, None, :] - kp1[:, None, :, :]) ** 2, -1)
-                d2 = jnp.where(v1[:, None, :], d2, big)
-                d2 = jnp.where(v0[:, :, None], d2, big)
-                j01 = jnp.argmin(d2, axis=2)
-                ok01 = (jnp.min(d2, axis=2) < th2) & v0 & in1
-                i10 = jnp.argmin(d2, axis=1)
-                ok10 = (jnp.min(d2, axis=1) < th2) & v1 & in0
-                # mutual consistency: i10[j01[i]] == i keeps only clean pairs
-                mut01 = jnp.take_along_axis(i10, j01, axis=1) == jnp.arange(
-                    kp0.shape[1]
-                )[None]
-                mut10 = jnp.take_along_axis(j01, i10, axis=1) == jnp.arange(
-                    kp1.shape[1]
-                )[None]
-                m0 = jnp.where(ok01 & mut01, j01, -1)
-                m1 = jnp.where(ok10 & mut10, i10, -1)
+                m0, m1 = mutual_detected_matches(
+                    kp0, kp1, v0, v1, H, th=float(conf.desc_match_th)
+                )
                 t = float(conf.desc_nll_temp)
                 nll = 0.5 * (
                     nll_desc_loss(d0s, d1s, m0, temperature=t, valid0=v0)

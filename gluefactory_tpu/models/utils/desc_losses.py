@@ -58,6 +58,39 @@ def nll_desc_loss(
     return -jnp.sum(ll * w, axis=-1) / jnp.maximum(w.sum(-1), 1.0)
 
 
+def mutual_detected_matches(
+    kp0: jnp.ndarray,
+    kp1: jnp.ndarray,
+    valid0: jnp.ndarray,
+    valid1: jnp.ndarray,
+    H_0to1: jnp.ndarray,
+    th: float = 3.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """GT correspondences between two sets of DETECTED keypoints under a
+    homography: mutual nearest within ``th`` px after warping (the standard
+    two-view descriptor-supervision pairing, reference
+    geometry/gt_generation.py:gt_matches_from_homography). kp* are
+    index-convention pixel coords (B, N, 2). Returns (matches0, matches1)
+    with -1 for unmatched."""
+    from ...geometry.homography import warp_points
+
+    wkp0 = warp_points(kp0, H_0to1)
+    big = 1e12
+    d2 = jnp.sum((wkp0[:, :, None, :] - kp1[:, None, :, :]) ** 2, -1)
+    d2 = jnp.where(valid1[:, None, :], d2, big)
+    d2 = jnp.where(valid0[:, :, None], d2, big)
+    j01 = jnp.argmin(d2, axis=2)
+    ok01 = (jnp.min(d2, axis=2) < th**2) & valid0
+    i10 = jnp.argmin(d2, axis=1)
+    ok10 = (jnp.min(d2, axis=1) < th**2) & valid1
+    n0, n1 = kp0.shape[1], kp1.shape[1]
+    mut01 = jnp.take_along_axis(i10, j01, axis=1) == jnp.arange(n0)[None]
+    mut10 = jnp.take_along_axis(j01, i10, axis=1) == jnp.arange(n1)[None]
+    m0 = jnp.where(ok01 & mut01, j01, -1)
+    m1 = jnp.where(ok10 & mut10, i10, -1)
+    return m0, m1
+
+
 def _logsumexp(x, axis):
     m = jnp.max(x, axis=axis, keepdims=True)
     return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True))

@@ -136,3 +136,57 @@ def test_jpldd_overfits_df():
         params, opt, df_loss = step(params, opt)
         losses.append(float(df_loss))
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+
+
+def test_jpldd_two_view_desc_nll_trains_only_desc_head():
+    """Phase-B recipe (configs/jpldd_desc_stage.yaml): inside a
+    two_view_pipeline on the homography engine, the InfoNCE branch must
+    produce finite grads concentrated in desc_head when the freeze mask
+    zeroes the trunk."""
+    from gluefactory_tpu.core.config import Config
+    from gluefactory_tpu.train import lr_scaling_masks
+
+    ds = get_dataset("homographies_ondevice")({
+        "pool_size": 3, "val_pool_size": 2, "source_size": [128, 128],
+        "image_size": 96, "max_gt_points": 48, "train_batch_size": 2,
+    })
+    pool = {k: jnp.asarray(v) for k, v in ds.build_pool("train").items()}
+    batch = ds.make_batch(pool, jax.random.key(0))
+    model = build_model("two_view_pipeline", {
+        "extractor": {
+            "name": "extractors.joint_point_line_extractor",
+            "channels": [4, 8, 16, 32], "dim": 16,
+            "max_num_keypoints": 48, "detection_threshold": 0.0,
+            "loss": {"desc_nll_weight": 1.0},
+        },
+    })
+    params = model.init(jax.random.key(1), batch)
+
+    def loss_fn(p):
+        pred = model.apply(p, batch)
+        losses, _ = model.apply(p, pred, batch, method=model.loss)
+        return losses["total"].mean(), losses
+
+    (val, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(val))
+    assert "desc_nll" in losses
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    gdesc = sum(
+        float(jnp.sum(g**2)) for path, g in flat
+        if "desc_head" in jax.tree_util.keystr(path)
+    )
+    assert gdesc > 0
+    # the freeze mask of the phase-B config hits every non-desc_head param
+    masks = lr_scaling_masks(params, [[0.0, [
+        "block", "agg_conv", "kp1", "kp2", "kp3", "df1", "df2", "df3",
+        "af1", "af3", "backbone"]]])
+    assert len(masks) == 1
+    import jax.tree_util as jtu
+    flat_mask = {
+        jtu.keystr(p): v for p, v in jtu.tree_flatten_with_path(masks[0][1])[0]
+    }
+    for k, frozen in flat_mask.items():
+        if "desc_head" in k:
+            assert not frozen, f"desc_head param {k} would be frozen"
+        else:
+            assert frozen, f"trunk param {k} would stay trainable"
