@@ -203,3 +203,83 @@ def _df_af_from_segments(segs: jnp.ndarray, valid: jnp.ndarray, s: int,
 
 
 __main_dataset__ = OnDeviceSyntheticShapesDataset
+
+
+class OnDeviceSyntheticShapesPairsDataset(OnDeviceSyntheticShapesDataset):
+    """TWO-VIEW variant: each step warps the same drawn scene by two
+    independent homographies and emits per-view images + exact line/vertex
+    GT + supervision fields + ``H_0to1``. One engine thereby serves joint
+    detector training (per-view junction/heatmap/DF/AF losses) AND
+    cross-view descriptor supervision (the views' ``gt_keypoints`` are the
+    SAME source vertices, so correspondence is the identity where both
+    validity masks hold) — used by the SOLD2 recipe
+    (configs/sold2_train_pairs.yaml)."""
+
+    default_conf: ClassVar[dict] = {
+        **OnDeviceSyntheticShapesDataset.default_conf,
+        "name": "synthetic_shapes_ondevice_pairs",
+        "right_only": False,  # milder view-0 warp when True
+    }
+
+    def make_batch(self, pool: dict, key: jax.Array, split: str = "train") -> dict:
+        conf = self.conf
+        bsz = int(conf.val_batch_size if split == "val" else conf.train_batch_size)
+        s = int(conf.image_size)
+        hs, ws = pool["images"].shape[1:3]
+        m = pool["images"].shape[0]
+        k_idx, k_h0, k_h1, k_p0, k_p1 = jax.random.split(key, 5)
+        idx = jax.random.randint(k_idx, (bsz,), 0, m)
+        images = pool["images"][idx].astype(jnp.float32) / 255.0
+        segs = pool["segments"][idx]
+        seg_valid = pool["segment_valid"][idx]
+        verts = pool["vertices"][idx]
+        vert_valid = pool["vertex_valid"][idx]
+
+        hconf = conf.homography
+        mild = 0.3 if conf.right_only else 1.0
+        H0, _ = sample_homography_batch(
+            k_h0, bsz, (ws, hs), (s, s),
+            difficulty=float(hconf.difficulty) * mild,
+            translation=float(hconf.translation),
+            max_angle=float(hconf.max_angle) * mild,
+        )
+        H1, _ = sample_homography_batch(
+            k_h1, bsz, (ws, hs), (s, s),
+            difficulty=float(hconf.difficulty),
+            translation=float(hconf.translation),
+            max_angle=float(hconf.max_angle),
+        )
+
+        out = {"H_0to1": H1 @ jnp.linalg.inv(H0)}
+        for i, (H, k_p) in enumerate(((H0, k_p0), (H1, k_p1))):
+            img = warp_image(images, H, (s, s))
+            img = photometric_augment(
+                k_p, img, p=float(conf.photometric.p),
+                strength=float(conf.photometric.strength))
+            w_verts = warp_points(verts, H)
+            b, L = segs.shape[:2]
+            w_segs = warp_points(segs.reshape(b, -1, 2), H).reshape(segs.shape)
+            inside_v = (
+                (w_verts[..., 0] >= 1.0) & (w_verts[..., 0] <= s - 2.0)
+                & (w_verts[..., 1] >= 1.0) & (w_verts[..., 1] <= s - 2.0)
+            )
+            ep_in = (
+                (w_segs[..., 0] >= 0.0) & (w_segs[..., 0] <= s - 1.0)
+                & (w_segs[..., 1] >= 0.0) & (w_segs[..., 1] <= s - 1.0)
+            ).all(-1)  # (B, L): both endpoints inside
+            seg_ok = seg_valid & ep_in
+            vert_ok = vert_valid & inside_v
+            heat = _splat_heatmap(w_verts, vert_ok, s, float(conf.heatmap_sigma))
+            df, af = _df_af_from_segments(w_segs, seg_ok, s, float(conf.df_clip))
+            size = jnp.full((bsz, 2), float(s), jnp.float32)
+            out[f"view{i}"] = {"image": img, "image_size": size}
+            out.update({
+                f"lines{i}": w_segs,
+                f"valid_lines{i}": seg_ok,
+                f"gt_keypoints{i}": w_verts,
+                f"gt_keypoint_valid{i}": vert_ok,
+                f"gt_heatmap{i}": heat,
+                f"gt_distance_field{i}": df,
+                f"gt_angle_field{i}": af,
+            })
+        return out

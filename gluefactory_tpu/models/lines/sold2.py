@@ -83,7 +83,10 @@ class SOLD2(BaseModel):
         "min_length": 16.0,
         "sparse_outputs": True,
         "loss": {"heatmap_weight": 1.0, "junction_weight": 1.0,
-                 "pos_weight": 100.0},
+                 "pos_weight": 100.0,
+                 # cross-view dense-descriptor InfoNCE (two-view pipeline
+                 # + the pairs engine; identity GT correspondence)
+                 "desc_nll_weight": 0.0, "desc_nll_temp": 0.1},
     }
     required_data_keys: ClassVar[list] = ["image"]
 
@@ -185,17 +188,76 @@ class SOLD2(BaseModel):
 
     def loss(self, pred, data):
         """Junction cell-CE against GT segment endpoints + weighted BCE on
-        the line heatmap against GT segments rasterized on device."""
+        the line heatmap against GT segments rasterized on device.
+
+        Inside a two_view_pipeline (suffixed keys + the pairs engine,
+        datasets/synthetic_shapes_ondevice_pairs) the per-view losses are
+        averaged and a cross-view descriptor InfoNCE is added: the engine's
+        ``gt_keypoints0/1`` are the SAME source vertices, so correspondence
+        is the identity wherever both validity masks hold."""
+        conf = self.conf.loss
+        if "junction_logits0" in pred:
+            losses: dict = {}
+            total = 0.0
+            for i in "01":
+                junc_ce, heat_bce = self._single_view_loss(
+                    pred[f"junction_logits{i}"], pred[f"line_heatmap{i}"],
+                    data[f"lines{i}"], data.get(f"valid_lines{i}"),
+                )
+                losses[f"junction_ce{i}"] = junc_ce
+                losses[f"heatmap_bce{i}"] = heat_bce
+                total = total + (
+                    float(conf.junction_weight) * junc_ce
+                    + float(conf.heatmap_weight) * heat_bce
+                ) / 2.0
+            nll_w = float(conf.get("desc_nll_weight", 0.0))
+            if nll_w > 0:
+                from ...ops.interpolate import sample_descriptors
+                from ..utils.desc_losses import nll_desc_loss
+
+                kp0 = data["gt_keypoints0"]
+                kp1 = data["gt_keypoints1"]
+                v0 = data["gt_keypoint_valid0"]
+                v1 = data["gt_keypoint_valid1"]
+                both = v0 & v1  # identity correspondence
+                k = kp0.shape[1]
+                ident = jnp.broadcast_to(jnp.arange(k)[None], both.shape)
+                m = jnp.where(both, ident, -1)
+                # dense maps are 1/4 resolution
+                d0 = sample_descriptors(
+                    pred["descriptors_dense0"], kp0, stride=4)
+                d1 = sample_descriptors(
+                    pred["descriptors_dense1"], kp1, stride=4)
+                t = float(conf.get("desc_nll_temp", 0.1))
+                nll = 0.5 * (
+                    nll_desc_loss(d0, d1, m, temperature=t, valid0=v0)
+                    + nll_desc_loss(d1, d0, m, temperature=t, valid0=v1)
+                )
+                losses["desc_nll"] = nll
+                total = total + nll_w * nll
+            losses["total"] = total
+            return losses, {}
+        junc_ce, heat_bce = self._single_view_loss(
+            pred["junction_logits"], pred["line_heatmap"],
+            data.get("lines", data.get("gt_segments")),
+            data.get("valid_lines", data.get("gt_segment_valid")),
+        )
+        total = (float(conf.junction_weight) * junc_ce
+                 + float(conf.heatmap_weight) * heat_bce)
+        metrics = {}
+        if "valid_lines" in pred:
+            metrics["num_lines"] = pred["valid_lines"].sum(-1).astype(
+                jnp.float32)
+        return {"total": total, "junction_ce": junc_ce,
+                "heatmap_bce": heat_bce}, metrics
+
+    def _single_view_loss(self, jl, heat, lines, lvalid):
         conf = self.conf.loss
         g = int(self.conf.grid_size)
-        jl = pred["junction_logits"]  # (B, hc, wc, g*g+1)
         b, hc, wc, _ = jl.shape
-        heat = pred["line_heatmap"]
         h, w = heat.shape[1:3]
-
-        lines = data["lines"]  # (B, L, 2, 2) xy
-        lvalid = data.get(
-            "valid_lines", jnp.ones(lines.shape[:2], bool))
+        if lvalid is None:
+            lvalid = jnp.ones(lines.shape[:2], bool)
 
         # --- junction CE: endpoints -> cell + in-cell index (dustbin else)
         ends = lines.reshape(b, -1, 2)  # (B, 2L, 2)
@@ -239,15 +301,7 @@ class SOLD2(BaseModel):
         bce = -(pw * mask_on * jnp.log(hflat)
                 + (1.0 - mask_on) * jnp.log(1.0 - hflat))
         heat_bce = bce.mean(axis=1) / (1.0 + pw) * 2.0
-
-        total = (float(conf.junction_weight) * junc_ce
-                 + float(conf.heatmap_weight) * heat_bce)
-        metrics = {}
-        if "valid_lines" in pred:
-            metrics["num_lines"] = pred["valid_lines"].sum(-1).astype(
-                jnp.float32)
-        return {"total": total, "junction_ce": junc_ce,
-                "heatmap_bce": heat_bce}, metrics
+        return junc_ce, heat_bce
 
 
 __main_model__ = SOLD2

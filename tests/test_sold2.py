@@ -101,3 +101,41 @@ def test_sold2_forward_and_loss():
         vals.append(float(v))
     assert np.isfinite(vals).all()
     assert vals[-1] < vals[0], vals[:2] + vals[-2:]
+
+
+def test_sold2_two_view_pairs_engine_training_path():
+    """Joint SOLD2 recipe (configs/sold2_train_pairs.yaml): the two-view
+    shapes engine emits per-view line/vertex GT + fields, and the pipeline
+    loss combines per-view junction/heatmap terms with the cross-view
+    descriptor InfoNCE — all with finite grads."""
+    from gluefactory_tpu.datasets import get_dataset
+
+    ds = get_dataset("synthetic_shapes_ondevice_pairs")({
+        "pool_size": 3, "val_pool_size": 2, "source_size": [128, 128],
+        "image_size": 96, "max_segments": 16, "max_vertices": 32,
+        "train_batch_size": 2,
+    })
+    pool = {k: jnp.asarray(v) for k, v in ds.build_pool("train").items()}
+    batch = ds.make_batch(pool, jax.random.key(0))
+    assert batch["lines0"].shape == (2, 16, 2, 2)
+    assert batch["gt_heatmap1"].shape == (2, 96, 96)
+    model = build_model("two_view_pipeline", {
+        "extractor": {
+            "name": "lines.sold2", "sparse_outputs": False,
+            "channels": [8, 16, 32], "descriptor_dim": 32,
+            "loss": {"desc_nll_weight": 1.0},
+        },
+    })
+    params = model.init(jax.random.key(1), batch)
+
+    def loss_fn(p):
+        pred = model.apply(p, batch)
+        losses, _ = model.apply(p, pred, batch, method=model.loss)
+        return losses["total"].mean(), losses
+
+    (val, losses), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(val))
+    for k in ("junction_ce0", "heatmap_bce1", "desc_nll"):
+        assert k in losses
+    gn = float(jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(g))))
+    assert np.isfinite(gn) and gn > 0
