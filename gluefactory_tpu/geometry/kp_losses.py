@@ -50,6 +50,41 @@ def peaky_loss(
     return jnp.sum(loss * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
 
 
+def gt_anchored_loc_loss(
+    heatmap: jnp.ndarray,
+    gt_keypoints: jnp.ndarray,
+    valid: jnp.ndarray,
+    radius: int = 2,
+    argmax_radius: int = 1,
+    temperature: float = 0.1,
+) -> jnp.ndarray:
+    """Sub-pixel localization supervised AT THE GT CORNERS: find the local
+    heatmap argmax within ``argmax_radius`` of each GT corner (= the pixel
+    NMS would detect), soft-argmax a ``radius`` window around it, and pull
+    that refined position onto the float GT.
+
+    Anchoring at GT instead of at detections keeps the loss clean when most
+    detections are texture/noise points with no corner nearby — the
+    detection-anchored variant (below) plateaus at the coincidental-nearest-
+    GT noise floor in that regime. Returns (B,)."""
+    b, h, w = heatmap.shape
+    # local argmax around the (rounded) GT corner
+    vals, dx, dy, cx, cy = _windows(heatmap, gt_keypoints, argmax_radius)
+    best = jnp.argmax(vals, axis=-1)
+    ax = cx + jnp.take(dx, best).astype(jnp.int32)
+    ay = cy + jnp.take(dy, best).astype(jnp.int32)
+    anchors = jnp.stack([ax, ay], axis=-1).astype(jnp.float32)
+    vals, dx, dy, cx, cy = _windows(heatmap, anchors, radius)
+    p = jnp.exp(vals / temperature)
+    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-12)
+    sx = cx.astype(jnp.float32) + jnp.sum(p * dx, axis=-1)
+    sy = cy.astype(jnp.float32) + jnp.sum(p * dy, axis=-1)
+    refined = jnp.stack([sx, sy], axis=-1)
+    d = jnp.sqrt(jnp.sum((refined - gt_keypoints) ** 2, axis=-1) + 1e-12)
+    wgt = valid.astype(heatmap.dtype)
+    return jnp.sum(d * wgt, axis=-1) / jnp.maximum(jnp.sum(wgt, axis=-1), 1.0)
+
+
 def soft_argmax_loc_loss(
     heatmap: jnp.ndarray,
     keypoints: jnp.ndarray,

@@ -122,6 +122,12 @@ class SuperPoint(BaseModel):
             "loc_weight": 0.0,
             "loc_radius": 2,
             "loc_max_dist": 4.0,
+            # 'gt' anchors the soft-argmax windows at the true corners
+            # (clean signal even when most detections are texture points);
+            # 'detections' is the legacy stage-0b behavior, which plateaus
+            # at the coincidental-nearest-GT noise floor when detection
+            # precision vs the drawn corners is low
+            "loc_anchor": "gt",
             # ALIKE-style peakiness around GT corners (kp_losses.py:117)
             "peaky_weight": 0.0,
             "peaky_radius": 2,
@@ -256,25 +262,41 @@ class SuperPoint(BaseModel):
             metrics[f"kp_recall{i}"] = rec
 
             if float(conf.loc_weight) > 0 or float(conf.peaky_weight) > 0:
-                from ...geometry.kp_losses import peaky_loss, soft_argmax_loc_loss
+                from ...geometry.kp_losses import (
+                    gt_anchored_loc_loss,
+                    peaky_loss,
+                    soft_argmax_loc_loss,
+                )
 
                 # full-res pre-NMS heatmap, recomputed from the logits (cheap:
                 # softmax + reshape; avoids storing it in training outputs)
                 heat_raw = cell_logits_to_heatmap(logits)
-                # nearest GT corner per detection (index coords: strip the
-                # +0.5 pixel-center convention both sides)
-                nearest = jnp.argmin(d2, axis=2)  # (B, K)
-                gt_near = jnp.take_along_axis(kp, nearest[..., None], axis=1)
-                gt_ok = jnp.take_along_axis(valid, nearest, axis=1) & pv
                 if float(conf.loc_weight) > 0:
-                    loc = soft_argmax_loc_loss(
-                        heat_raw,
-                        pk - 0.5,
-                        gt_near - 0.5,
-                        gt_ok,
-                        radius=int(conf.loc_radius),
-                        max_dist=float(conf.loc_max_dist),
-                    )
+                    if conf.get("loc_anchor", "gt") == "gt":
+                        # heatmap-frame target is kp - 0.5: the engine GT is
+                        # in the drawn/warped coordinate frame and forward()
+                        # adds the +0.5 pixel-center shift to its outputs —
+                        # stage-0b (trained with this target) measures ~zero
+                        # output bias vs GT, confirming the convention
+                        loc = gt_anchored_loc_loss(
+                            heat_raw, kp - 0.5, valid,
+                            radius=int(conf.loc_radius),
+                        )
+                    else:
+                        # legacy: anchor at detections, pull toward the
+                        # nearest GT corner within loc_max_dist
+                        nearest = jnp.argmin(d2, axis=2)  # (B, K)
+                        gt_near = jnp.take_along_axis(
+                            kp, nearest[..., None], axis=1)
+                        gt_ok = jnp.take_along_axis(valid, nearest, axis=1) & pv
+                        loc = soft_argmax_loc_loss(
+                            heat_raw,
+                            pk - 0.5,
+                            gt_near - 0.5,
+                            gt_ok,
+                            radius=int(conf.loc_radius),
+                            max_dist=float(conf.loc_max_dist),
+                        )
                     losses[f"kp_loc{i}"] = loc
                     total = total + float(conf.loc_weight) * loc / 2.0
                 if float(conf.peaky_weight) > 0:
