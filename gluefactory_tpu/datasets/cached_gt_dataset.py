@@ -40,6 +40,23 @@ class CachedGTDataset(BaseDataset):
         # positional val_size split)
         "train_scenes_file": None,
         "val_scenes_file": None,
+        # per-EPOCH multiscale training (reference minidepth.py
+        # multiscale_learning:42-46): every epoch resizes the whole split to
+        # one scale from scales_list — per-epoch (not per-item, as the torch
+        # reference does) so each epoch keeps ONE static shape and XLA
+        # reuses one compiled step per scale instead of recompiling per item
+        "multiscale": {
+            "do": False,
+            "scales_list": [480, 400, 320],
+            "scale_selection": "round-robin",  # or "random"
+        },
+        # sparse keypoint GT served from the cache when present (reference
+        # minidepth.py load_features.point_gt:50-63): fixed top-k slots +
+        # validity mask (static shapes)
+        "point_gt": {
+            "load_points": False,
+            "max_num_keypoints": 76,
+        },
     }
 
     def _init(self, conf):
@@ -105,6 +122,22 @@ class _CachedSplit:
                 self.paths = parent.paths
         self.split = split
         self._file = None
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Per-epoch multiscale: pick ONE scale for the whole epoch so the
+        jitted train step sees a single static shape per epoch."""
+        self._epoch = int(epoch)
+        ms = self.conf.multiscale
+        if not ms.do or self.split != "train":
+            return
+        scales = [int(s) for s in ms.scales_list]
+        if str(ms.scale_selection) == "random":
+            scale = int(np.random.default_rng(epoch).choice(scales))
+        else:  # round-robin
+            scale = scales[epoch % len(scales)]
+        pp_conf = {**self.conf.preprocessing.to_dict(), "resize": scale}
+        self._epoch_preprocessor = ImagePreprocessor(pp_conf)
 
     def __len__(self):
         return len(self.paths)
@@ -141,6 +174,27 @@ class _CachedSplit:
             canvas = np.zeros((h, w), np.float32)
             canvas[: arr_r.shape[0], : arr_r.shape[1]] = arr_r
             out[f"gt_{field}"] = canvas
+        pg = self.conf.point_gt
+        if pg.load_points and "keypoints" in grp:
+            kp = np.asarray(grp["keypoints"], np.float32)  # cache-frame px
+            sc = (
+                np.asarray(grp["keypoint_scores"], np.float32)
+                if "keypoint_scores" in grp else np.ones(len(kp), np.float32)
+            )
+            order = np.argsort(-sc)
+            k = int(pg.max_num_keypoints)
+            order = order[:k]
+            kp, sc = kp[order], sc[order]
+            kp = kp * view["scales"][None]  # into the preprocessed frame
+            slots_kp = np.zeros((k, 2), np.float32)
+            slots_sc = np.zeros((k,), np.float32)
+            valid = np.zeros((k,), bool)
+            slots_kp[: len(kp)] = kp
+            slots_sc[: len(kp)] = sc
+            valid[: len(kp)] = True
+            out["gt_keypoints"] = slots_kp
+            out["gt_keypoint_scores"] = slots_sc
+            out["gt_keypoint_valid"] = valid
         return out
 
     def _file_keys(self):

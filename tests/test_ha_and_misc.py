@@ -166,3 +166,56 @@ def test_cached_gt_scene_list_splits(tmp_path):
     assert len(ds.get_dataset("all").paths) == 12
     item = tr[0]
     assert item["gt_heatmap"].shape == (32, 40) or item["gt_heatmap"].shape == (32, 32)
+
+
+def test_cached_gt_multiscale_and_point_gt(tmp_path):
+    """Per-epoch multiscale (one static shape per epoch) + sparse keypoint
+    GT slots served from the cache (reference minidepth.py
+    multiscale_learning:42-46, load_features.point_gt:50-63)."""
+    import cv2
+    import h5py
+
+    from gluefactory_tpu.datasets import get_dataset
+
+    root = tmp_path / "mini" / "images"
+    gt_file = tmp_path / "mini" / "gt_fields.h5"
+    gt_file.parent.mkdir(parents=True, exist_ok=True)
+    rng2 = np.random.default_rng(2)
+    with h5py.File(str(gt_file), "w") as f:
+        root.mkdir(parents=True, exist_ok=True)
+        for i in range(6):
+            img = (rng2.uniform(0, 255, (48, 64, 3))).astype(np.uint8)
+            cv2.imwrite(str(root / f"{i}.jpg"), img)
+            g = f.create_group(f"{i}.jpg")
+            g.create_dataset(
+                "heatmap", data=rng2.uniform(0, 1, (48, 64)).astype(np.float32))
+            g.create_dataset(
+                "keypoints",
+                data=rng2.uniform(0, 40, (10, 2)).astype(np.float32))
+            g.create_dataset(
+                "keypoint_scores",
+                data=np.arange(10, 0, -1).astype(np.float32))
+    ds = get_dataset("cached_gt_dataset")(
+        {
+            "images": str(root), "gt_file": str(gt_file),
+            "preprocessing": {"resize": 32, "side": "long",
+                              "square_pad": True},
+            "num_workers": 0, "train_batch_size": 2, "val_size": 2,
+            "fields": ["heatmap"],
+            "multiscale": {"do": True, "scales_list": [32, 48],
+                           "scale_selection": "round-robin"},
+            "point_gt": {"load_points": True, "max_num_keypoints": 6},
+        }
+    )
+    loader = ds.get_data_loader("train")
+    loader.set_epoch(0)
+    b0 = next(iter(loader))
+    loader.set_epoch(1)
+    b1 = next(iter(loader))
+    assert b0["image"].shape[1:3] == (32, 32)
+    assert b1["image"].shape[1:3] == (48, 48)
+    # sparse GT: fixed slots, top-k by score, scaled into the view frame
+    assert b0["gt_keypoints"].shape == (2, 6, 2)
+    assert b0["gt_keypoint_valid"].all()  # 10 cached > 6 slots
+    assert (b0["gt_keypoint_scores"][:, 0] >= b0["gt_keypoint_scores"][:, -1]).all()
+    assert float(b0["gt_keypoints"].max()) <= 32.0
