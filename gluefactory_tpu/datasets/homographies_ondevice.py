@@ -356,6 +356,11 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
         },
         "desc_noise": 0.05,
         "desc_dropout": 0.05,
+        "kp_noise": 0.0,  # px stddev of per-view keypoint-position jitter —
+        # the cached path warps positions ANALYTICALLY (zero detection
+        # noise), so a matcher trained here never sees the extractor's real
+        # cross-view localization jitter; ~0.5 px matches the measured SP
+        # consistency error class
         "pool_cache": True,  # persist extracted pools to disk so the
         # resilient-train restart loop (tunnel outages) skips re-extraction
     }
@@ -516,7 +521,9 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
         ws, hs = (float(x) for x in conf.source_size)  # static (conf), the
         # pool entry only documents the extraction frame
         m = pool["keypoints"].shape[0]
-        (k_idx, k_h0, k_h1, k_n0, k_n1, k_d0, k_d1) = jax.random.split(key, 7)
+        (k_idx, k_h0, k_h1, k_n0, k_n1, k_d0, k_d1, k_j0, k_j1) = (
+            jax.random.split(key, 9)
+        )
         idx = jax.random.randint(k_idx, (bsz,), 0, m)
         kp_src = pool["keypoints"][idx]
         desc = pool["descriptors"][idx].astype(jnp.float32)
@@ -537,8 +544,12 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
             max_angle=float(hconf.max_angle),
         )
 
-        def view(H, k_noise, k_drop):
+        def view(H, k_noise, k_drop, k_jit):
             kp = warp_points(kp_src, H)
+            if float(conf.kp_noise) > 0:
+                kp = kp + float(conf.kp_noise) * jax.random.normal(
+                    k_jit, kp.shape
+                )
             inside = (
                 (kp[..., 0] >= 0.0) & (kp[..., 0] <= s - 1.0)
                 & (kp[..., 1] >= 0.0) & (kp[..., 1] <= s - 1.0)
@@ -561,8 +572,8 @@ class OnDeviceCachedFeatureDataset(OnDeviceHomographyDataset):
             }
 
         return {
-            "view0": view(H0, k_n0, k_d0),
-            "view1": view(H1, k_n1, k_d1),
+            "view0": view(H0, k_n0, k_d0, k_j0),
+            "view1": view(H1, k_n1, k_d1, k_j1),
             "H_0to1": H1 @ jnp.linalg.inv(H0),
         }
 

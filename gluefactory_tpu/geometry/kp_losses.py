@@ -57,11 +57,16 @@ def gt_anchored_loc_loss(
     radius: int = 2,
     argmax_radius: int = 1,
     temperature: float = 0.1,
+    mode: str = "softargmax",
 ) -> jnp.ndarray:
     """Sub-pixel localization supervised AT THE GT CORNERS: find the local
     heatmap argmax within ``argmax_radius`` of each GT corner (= the pixel
-    NMS would detect), soft-argmax a ``radius`` window around it, and pull
-    that refined position onto the float GT.
+    NMS would detect), refine a ``radius`` window around it, and pull the
+    refined position onto the float GT.
+
+    ``mode='softargmax'`` mirrors ops/nms.soft_argmax_refinement;
+    ``mode='com'`` mirrors ops/nms.com_refinement (center of mass after
+    noise-floor subtraction — the readout matching soft bilinear labels).
 
     Anchoring at GT instead of at detections keeps the loss clean when most
     detections are texture/noise points with no corner nearby — the
@@ -75,8 +80,12 @@ def gt_anchored_loc_loss(
     ay = cy + jnp.take(dy, best).astype(jnp.int32)
     anchors = jnp.stack([ax, ay], axis=-1).astype(jnp.float32)
     vals, dx, dy, cx, cy = _windows(heatmap, anchors, radius)
-    p = jnp.exp(vals / temperature)
-    p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-12)
+    if mode == "com":
+        vals = jnp.maximum(vals - jnp.min(vals, axis=-1, keepdims=True), 0.0)
+        p = vals / jnp.maximum(jnp.sum(vals, axis=-1, keepdims=True), 1e-12)
+    else:
+        p = jnp.exp(vals / temperature)
+        p = p / jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-12)
     sx = cx.astype(jnp.float32) + jnp.sum(p * dx, axis=-1)
     sy = cy.astype(jnp.float32) + jnp.sum(p * dy, axis=-1)
     refined = jnp.stack([sx, sy], axis=-1)

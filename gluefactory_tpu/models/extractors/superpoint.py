@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.interpolate import cell_logits_to_heatmap, sample_descriptors
-from ...ops.nms import select_top_k_keypoints, simple_nms, soft_argmax_refinement
+from ...ops.nms import (
+    com_refinement,
+    select_top_k_keypoints,
+    simple_nms,
+    soft_argmax_refinement,
+)
 from ..base_model import BaseModel
 
 
@@ -77,6 +82,10 @@ class SuperPoint(BaseModel):
         "detection_threshold": 0.005,
         "remove_borders": 4,
         "refinement_radius": 0,
+        # 'com' = center-of-mass window refinement: exact sub-pixel readout
+        # of a soft-bilinear-label-trained heatmap (cell_labels=soft);
+        # 'softargmax' = legacy low-temperature softmax (≈ hard argmax)
+        "refinement_mode": "softargmax",
         "dense_outputs": False,
         "training_outputs": False,  # keep cell logits + dense descs for loss()
         "desc_sampling": "center",  # 'torch' = exact reference grid mapping
@@ -93,6 +102,11 @@ class SuperPoint(BaseModel):
             # weights instead — gluefactory has no SP training path at all,
             # this build adds one so quality is reachable with zero egress)
             "cell_pos_weight": 32.0,  # class-balance: corner cells are rare
+            # 'hard' = integer within-cell class (MagicPoint recipe);
+            # 'soft' = bilinear label mass over the GT corner's neighboring
+            # pixels, so the 65-way softmax itself encodes SUB-PIXEL
+            # position (read back exactly by refinement_mode=com)
+            "cell_labels": "hard",
             # descriptor: dense cell-pair hinge loss under H_0to1
             "desc_weight": 1.0,
             "desc_lambda_d": 250.0,
@@ -182,8 +196,13 @@ class SuperPoint(BaseModel):
             )
             if self.conf.refinement_radius > 0:
                 # refine on the PRE-NMS heatmap: NMS zeroes the neighborhood
-                # the soft-argmax needs
-                keypoints = soft_argmax_refinement(
+                # the refinement window needs
+                refine = (
+                    com_refinement
+                    if self.conf.get("refinement_mode", "softargmax") == "com"
+                    else soft_argmax_refinement
+                )
+                keypoints = refine(
                     keypoints, heat_raw, self.conf.refinement_radius
                 )
             pred.update(
@@ -237,11 +256,20 @@ class SuperPoint(BaseModel):
             b, hc, wc, _ = logits.shape
             kp = data[f"gt_keypoints{i}"]
             valid = data[f"gt_keypoint_valid{i}"]
-            labels = _cell_labels(kp, valid, hc, wc)
-            ce = optax.softmax_cross_entropy_with_integer_labels(
-                logits.reshape(b, -1, 65), labels.reshape(b, -1)
-            )
-            w = jnp.where(labels.reshape(b, -1) < 64, float(conf.cell_pos_weight), 1.0)
+            if conf.get("cell_labels", "hard") == "soft":
+                target = _cell_labels_soft(kp, valid, hc, wc)
+                logp = jax.nn.log_softmax(logits.reshape(b, -1, 65), axis=-1)
+                ce = -jnp.sum(target * logp, axis=-1)
+                pos_mass = 1.0 - target[..., 64]
+                w = 1.0 + (float(conf.cell_pos_weight) - 1.0) * pos_mass
+            else:
+                labels = _cell_labels(kp, valid, hc, wc)
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits.reshape(b, -1, 65), labels.reshape(b, -1)
+                )
+                w = jnp.where(
+                    labels.reshape(b, -1) < 64, float(conf.cell_pos_weight), 1.0
+                )
             det = jnp.sum(ce * w, axis=-1) / jnp.sum(w, axis=-1)
             losses[f"det_ce{i}"] = det
             total = total + det / 2.0
@@ -281,6 +309,7 @@ class SuperPoint(BaseModel):
                         loc = gt_anchored_loc_loss(
                             heat_raw, kp - 0.5, valid,
                             radius=int(conf.loc_radius),
+                            mode=self.conf.get("refinement_mode", "softargmax"),
                         )
                     else:
                         # legacy: anchor at detections, pull toward the
@@ -428,6 +457,48 @@ def _cell_labels(kp: jnp.ndarray, valid: jnp.ndarray, hc: int, wc: int) -> jnp.n
         labels, flat_idx, within.astype(jnp.int32)
     )
     return labels.reshape(b, hc, wc)
+
+
+def _cell_labels_soft(
+    kp: jnp.ndarray, valid: jnp.ndarray, hc: int, wc: int
+) -> jnp.ndarray:
+    """Exact keypoints (B, K, 2) + validity -> SOFT 65-way targets
+    (B, hc*wc, 65): the GT corner's heatmap-frame position (kp - 0.5)
+    bilinearly splats label mass over its up-to-4 neighboring pixels (which
+    may straddle cell borders), so the cell softmax learns the sub-pixel
+    position and a center-of-mass readout (ops/nms.com_refinement) recovers
+    it exactly. Cells without corner mass put all mass on the dustbin."""
+    b, k = kp.shape[:2]
+    h, w = hc * 8, wc * 8
+    q = kp - 0.5  # heatmap-frame position (see the loc-loss convention note)
+    x0 = jnp.floor(q[..., 0])
+    y0 = jnp.floor(q[..., 1])
+    fx = q[..., 0] - x0
+    fy = q[..., 1] - y0
+    heat = jnp.zeros((b, h * w), jnp.float32)
+    bad = h * w  # dropped by mode='drop'
+    for dx, dy, wt in (
+        (0, 0, (1 - fx) * (1 - fy)),
+        (1, 0, fx * (1 - fy)),
+        (0, 1, (1 - fx) * fy),
+        (1, 1, fx * fy),
+    ):
+        px = x0.astype(jnp.int32) + dx
+        py = y0.astype(jnp.int32) + dy
+        inb = valid & (px >= 0) & (py >= 0) & (px < w) & (py < h)
+        idx = jnp.where(inb, py * w + px, bad)
+        heat = jax.vmap(
+            lambda hh, ii, vv: hh.at[ii].add(vv, mode="drop")
+        )(heat, idx, wt.astype(jnp.float32))
+    heat = jnp.clip(heat, 0.0, 1.0)  # coincident corners
+    cells = (
+        heat.reshape(b, hc, 8, wc, 8)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(b, hc * wc, 64)
+    )
+    dustbin = jnp.clip(1.0 - jnp.sum(cells, axis=-1), 0.0, 1.0)
+    target = jnp.concatenate([cells, dustbin[..., None]], axis=-1)
+    return target / jnp.maximum(jnp.sum(target, axis=-1, keepdims=True), 1e-8)
 
 
 __main_model__ = SuperPoint

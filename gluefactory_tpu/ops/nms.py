@@ -81,6 +81,35 @@ def select_top_k_keypoints(
     return keypoints, kp_scores, valid
 
 
+def com_refinement(
+    keypoints: jnp.ndarray, scores: jnp.ndarray, radius: int
+) -> jnp.ndarray:
+    """Center-of-mass sub-pixel refinement: weights proportional to the
+    (noise-floor-subtracted) heatmap values in a (2r+1)^2 window.
+
+    Unlike the low-temperature softmax of ``soft_argmax_refinement`` —
+    which approaches hard argmax and cannot express fractional positions —
+    linear weighting reads a bilinearly-splat peak back EXACTLY: a detector
+    trained with soft bilinear cell labels (extractors/superpoint
+    cell_labels=soft) stores the sub-pixel corner position as mass shared
+    between neighboring pixels, and the window CoM recovers it."""
+    b, k, _ = keypoints.shape
+    h, w = scores.shape[-2:]
+    win = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    dy, dx = jnp.meshgrid(win, win, indexing="ij")
+    offsets = jnp.stack([dx.ravel(), dy.ravel()], axis=-1)  # (W2, 2)
+    pos = keypoints[:, :, None, :] + offsets[None, None]
+    xi = jnp.clip(pos[..., 0], 0, w - 1).astype(jnp.int32)
+    yi = jnp.clip(pos[..., 1], 0, h - 1).astype(jnp.int32)
+    flat_idx = (yi * w + xi).reshape(b, -1)
+    vals = jnp.take_along_axis(scores.reshape(b, -1), flat_idx, axis=-1)
+    vals = vals.reshape(b, k, -1)
+    vals = jnp.maximum(vals - jnp.min(vals, axis=-1, keepdims=True), 0.0)
+    weights = vals / jnp.maximum(jnp.sum(vals, axis=-1, keepdims=True), 1e-12)
+    delta = jnp.sum(weights[..., None] * offsets[None, None], axis=-2)
+    return keypoints + delta
+
+
 def soft_argmax_refinement(
     keypoints: jnp.ndarray, scores: jnp.ndarray, radius: int, temperature: float = 0.1
 ) -> jnp.ndarray:

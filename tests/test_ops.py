@@ -214,3 +214,61 @@ def test_zero_padding_samplers_match_torch_semantics():
             align_corners=False)[0, :, :, 0].T.numpy()
         got = np.asarray(fn(jnp.asarray(fmap), jnp.asarray(pts)))[0]
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=mode)
+
+
+def test_com_refinement_reads_soft_bilinear_labels_exactly():
+    """Soft bilinear cell labels + center-of-mass readout: a heatmap built
+    from _cell_labels_soft must give back the float corner positions
+    exactly (the stage-1c SuperPoint sub-pixel design)."""
+    import numpy as np
+
+    from gluefactory_tpu.models.extractors.superpoint import _cell_labels_soft
+    from gluefactory_tpu.ops.nms import com_refinement
+
+    rng2 = np.random.default_rng(5)
+    hc = wc = 6
+    base = np.stack(np.meshgrid([10, 25, 38], [10, 25]), -1).reshape(-1, 2)[:5]
+    kp = jnp.asarray(
+        base[None].repeat(2, 0) + rng2.uniform(-0.5, 0.5, (2, 5, 2)),
+        jnp.float32,
+    )
+    valid = jnp.ones((2, 5), bool)
+    target = _cell_labels_soft(kp, valid, hc, wc)
+    # rows are normalized distributions
+    np.testing.assert_allclose(np.asarray(target.sum(-1)), 1.0, atol=1e-5)
+    heat = (
+        target[..., :64].reshape(2, hc, wc, 8, 8)
+        .transpose(0, 1, 3, 2, 4).reshape(2, 48, 48)
+    )
+    refined = com_refinement(jnp.round(kp - 0.5), heat, radius=1)
+    err = np.asarray(jnp.linalg.norm(refined - (kp - 0.5), axis=-1))
+    assert err.max() < 1e-4, err
+
+
+def test_gt_anchored_loc_loss_trains_to_subpixel():
+    """Direct optimization of random cell logits under the CoM-mode GT-
+    anchored loc loss must reach sub-0.3px — the saturation check that
+    caught the low-temperature softargmax plateau."""
+    import numpy as np
+    import optax
+
+    from gluefactory_tpu.geometry.kp_losses import gt_anchored_loc_loss
+    from gluefactory_tpu.ops.interpolate import cell_logits_to_heatmap
+
+    rng2 = np.random.default_rng(1)
+    kp = jnp.asarray([[[10.3, 20.7], [30.2, 15.6]]], jnp.float32)
+    valid = jnp.ones((1, 2), bool)
+    logits = jnp.asarray(rng2.normal(0, 0.1, (1, 4, 5, 65)), jnp.float32)
+    opt = optax.adam(0.05)
+
+    def loss_fn(lg):
+        hr = cell_logits_to_heatmap(lg)
+        return gt_anchored_loc_loss(
+            hr, kp - 0.5, valid, radius=2, mode="com").mean()
+
+    state = opt.init(logits)
+    for _ in range(80):
+        _, g = jax.value_and_grad(loss_fn)(logits)
+        up, state = opt.update(g, state)
+        logits = optax.apply_updates(logits, up)
+    assert float(loss_fn(logits)) < 0.3
