@@ -79,3 +79,54 @@ def test_lightglue_with_ring_attention(devices):
     np.testing.assert_array_equal(
         np.asarray(p_ring["matches0"]), np.asarray(p_ref["matches0"])
     )
+
+
+def test_bf16_train_step_mixed_precision(devices):
+    """AMP-equivalent training step (reference train.py:331-338): networks
+    compute in bfloat16, params/optimizer state stay float32, grads/updates
+    are finite, and params actually move."""
+    import numpy as np
+
+    from gluefactory_tpu.core.config import Config
+    from gluefactory_tpu.models import build_model
+    from gluefactory_tpu.train import (
+        default_train_conf,
+        filter_batch,
+        make_optimizer,
+        make_train_step,
+    )
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from __graft_entry__ import _flagship_conf, _synthetic_batch
+
+    conf = _flagship_conf(tiny=True)
+    conf["extractor"]["dtype"] = "bf16"
+    conf["matcher"]["dtype"] = "bf16"
+    model = build_model("two_view_pipeline", conf)
+    batch = _synthetic_batch(2, 64)
+    params = model.init(jax.random.key(0), batch, method=model.forward_and_loss)
+    # params are kept f32 (AMP master copy)
+    assert all(
+        x.dtype == jnp.float32
+        for x in jax.tree.leaves(params)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+    )
+    train_conf = Config(default_train_conf)
+    tx, _ = make_optimizer(train_conf, params, Config(conf))
+    opt_state = tx.init(params)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("data",))
+    step, shard_batch, repl = make_train_step(model, tx, mesh)
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+    data = shard_batch(filter_batch(batch))
+    p0 = jax.tree.map(np.asarray, params)
+    new_params, _, scalars = step(params, opt_state, data)
+    assert np.isfinite(float(np.asarray(scalars["loss/total"])))
+    assert float(np.asarray(scalars["skipped"])) == 0.0
+    moved = any(
+        float(np.abs(np.asarray(a) - b).max()) > 0
+        for a, b in zip(jax.tree.leaves(new_params), jax.tree.leaves(p0))
+    )
+    assert moved
