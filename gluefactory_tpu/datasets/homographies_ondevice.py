@@ -40,8 +40,9 @@ from .base_dataset import BaseDataset
 
 
 def generate_structured_scene(
-    rng: np.random.Generator, size: tuple[int, int], max_points: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    rng: np.random.Generator, size: tuple[int, int], max_points: int,
+    max_segments: int = 0,
+):
     """Procedural grayscale scene with exact corner ground truth.
 
     Draws filled polygons, rectangles, checkerboards, lines and ellipses on a
@@ -49,8 +50,12 @@ def generate_structured_scene(
     corner / line endpoint is recorded as a GT keypoint.
 
     Returns (image (h, w, 1) float32 in [0,1], points (max_points, 2),
-    valid (max_points,)).
-    """
+    valid (max_points,)). With ``max_segments > 0`` additionally returns
+    (segments (max_segments, 2, 2), segment_valid) — the drawn EDGES
+    (polygon/rectangle sides, checker grid lines, line segments), recorded
+    from the same data the drawing already uses (NO extra rng draws, so
+    images are bit-identical with or without segment recording; line models
+    can therefore train on the exact family every benchmark renders)."""
     w, h = size
     gx = np.linspace(0, 1, w, dtype=np.float32)[None, :]
     gy = np.linspace(0, 1, h, dtype=np.float32)[:, None]
@@ -58,11 +63,17 @@ def generate_structured_scene(
     img = np.ascontiguousarray((a * gx + b * gy + c) / (a + b + c + 1e-8))
     img *= rng.uniform(0.3, 0.9)
     points: list[np.ndarray] = []
+    segments: list[np.ndarray] = []
 
     def add_pts(pts):
         for p in np.atleast_2d(pts):
             if 2 <= p[0] < w - 2 and 2 <= p[1] < h - 2:
                 points.append(np.asarray(p, np.float32))
+
+    def add_seg(p0, p1):
+        seg = np.asarray([p0, p1], np.float32)
+        if np.linalg.norm(seg[1] - seg[0]) >= 8.0:
+            segments.append(seg)
 
     n_shapes = int(rng.integers(12, 26))
     for _ in range(n_shapes):
@@ -75,13 +86,19 @@ def generate_structured_scene(
             ang = np.sort(rng.uniform(0, 2 * np.pi, n_pts))
             pts = np.stack([cx + r * np.cos(ang), cy + r * np.sin(ang)], -1)
             cv2.fillPoly(img, [pts.astype(np.int32)], color)
-            add_pts(pts.astype(np.int32).astype(np.float32))
+            ipts = pts.astype(np.int32).astype(np.float32)
+            add_pts(ipts)
+            for e in range(n_pts):
+                add_seg(ipts[e], ipts[(e + 1) % n_pts])
         elif kind == 1:  # rectangle
             x0, y0 = rng.uniform(0, w - 20), rng.uniform(0, h - 20)
             x1, y1 = x0 + rng.uniform(10, w / 3), y0 + rng.uniform(10, h / 3)
             x0, y0, x1, y1 = int(x0), int(y0), int(x1), int(y1)
             cv2.rectangle(img, (x0, y0), (x1, y1), color, -1)
             add_pts(np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32))
+            rc = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32)
+            for e in range(4):
+                add_seg(rc[e], rc[(e + 1) % 4])
         elif kind == 2:  # checkerboard patch
             rows, cols = int(rng.integers(2, 5)), int(rng.integers(2, 5))
             cell = int(rng.uniform(8, min(w, h) / 10))
@@ -103,11 +120,17 @@ def generate_structured_scene(
                 -1,
             ).reshape(-1, 2)
             add_pts(corners.astype(np.float32))
+            # checker grid lines (full-span rows/columns)
+            for r in range(rows + 1):
+                add_seg((x0, y0 + r * cell), (x0 + cols * cell, y0 + r * cell))
+            for cidx in range(cols + 1):
+                add_seg((x0 + cidx * cell, y0), (x0 + cidx * cell, y0 + rows * cell))
         elif kind == 3:  # line
             p0 = rng.uniform([0, 0], [w, h]).astype(int)
             p1 = rng.uniform([0, 0], [w, h]).astype(int)
             cv2.line(img, tuple(p0), tuple(p1), color, int(rng.integers(1, 4)))
             add_pts(np.stack([p0, p1]).astype(np.float32))
+            add_seg(p0.astype(np.float32), p1.astype(np.float32))
         else:  # ellipse (texture, no corner GT)
             cv2.ellipse(
                 img,
@@ -126,7 +149,15 @@ def generate_structured_scene(
             arr = arr[rng.permutation(len(arr))[:max_points]]
         pts[: len(arr)] = arr
         valid[: len(arr)] = True
-    return img, pts, valid
+    if max_segments <= 0:
+        return img, pts, valid
+    segs = np.zeros((max_segments, 2, 2), np.float32)
+    seg_valid = np.zeros((max_segments,), bool)
+    if segments:
+        sarr = np.stack(segments)[:max_segments]
+        segs[: len(sarr)] = sarr
+        seg_valid[: len(sarr)] = True
+    return img, pts, valid, segs, seg_valid
 
 
 class OnDeviceHomographyDataset(BaseDataset):

@@ -59,6 +59,11 @@ class OnDeviceSyntheticShapesDataset(OnDeviceHomographyDataset):
         "photometric": {"p": 0.9, "strength": 1.0},
         "heatmap_sigma": 1.0,
         "df_clip": 16.0,  # distance field saturates here (model normalizes)
+        # pool generator family: 'shapes' = draw_scene (clean polygon/line
+        # scenes); 'structured' = the SAME generator every benchmark renders
+        # (homographies_ondevice.generate_structured_scene with segment
+        # recording) — line models must train in-family to be evaluable
+        "scene_family": "shapes",
     }
 
     # -- pool ---------------------------------------------------------------
@@ -78,8 +83,23 @@ class OnDeviceSyntheticShapesDataset(OnDeviceHomographyDataset):
         vertices = np.zeros((n, K, 2), np.float32)
         vert_valid = np.zeros((n, K), bool)
         salt = 104729 if split == "val" else 0
+        structured = str(conf.get("scene_family", "shapes")) == "structured"
         for i in range(n):
             g = np.random.default_rng((int(conf.seed) + salt, i))
+            if structured:
+                from .homographies_ondevice import generate_structured_scene
+
+                img, pts, pval, segs_a, segv_a = generate_structured_scene(
+                    g, (w, h), K, max_segments=L
+                )
+                images[i] = np.clip(
+                    np.repeat(img, 3, axis=-1) * 255, 0, 255
+                ).astype(np.uint8)
+                segments[i] = segs_a
+                seg_valid[i] = segv_a
+                vertices[i] = pts
+                vert_valid[i] = pval
+                continue
             img, segs, verts = draw_scene(g, w, L)
             images[i] = np.clip(img * 255, 0, 255).astype(np.uint8)
             segments[i, : len(segs)] = segs
