@@ -479,3 +479,46 @@ def test_trained_sift_lightglue_stage2_ood_quality(tmp_path):
     assert np.median(stats["prec1"]) > 0.5, stats
     assert np.median(stats["prec3"]) > 0.7, stats
     assert np.median(stats["h_err"]) < 1.5, stats
+
+
+def test_trained_jpldd_quality(tmp_path):
+    """JPLDD stage-0 gate (trained on the synthetic-shapes engine,
+    committed blob): keypoint repeatability/localization on fresh
+    family-A renders. Benchmark rows: hpatches_extended kp repeatability
+    0.77 / loc 1.35 px (outputs/results/hpatches_extended/jpldd_stage0)."""
+    from gluefactory_tpu.geometry.homography import warp_points_np
+
+    blob = WEIGHTS_PATH / "jpldd_tpu_stage0.f16.msgpack"
+    if not blob.exists():
+        pytest.skip("no committed JPLDD weights")
+    pairs = render_pairs(tmp_path, n_seqs=2)
+    model = build_model("extractors.joint_point_line_extractor", {
+        "max_num_keypoints": 512, "detection_threshold": 0.005,
+    })
+    data0 = {"image": jnp.zeros((1, 360, 480, 3)),
+             "image_size": jnp.asarray([[480.0, 360.0]])}
+    params = model.init(jax.random.key(0), data0)
+    flat, _, _ = load_weight_blob(blob)
+    params = restore_from_flat_dict(params, flat)
+    apply_fn = jax.jit(model.apply)
+    reps, locs = [], []
+    for img0, img1, H in pairs:
+        k0v = []
+        for img in (img0, img1):
+            pred = apply_fn(params, {
+                "image": jnp.asarray(img)[None],
+                "image_size": jnp.asarray(
+                    [[img.shape[1], img.shape[0]]], jnp.float32),
+            })
+            kp = np.asarray(pred["keypoints"][0])
+            kv = np.asarray(pred["keypoint_valid"][0])
+            k0v.append(kp[kv])
+        wk0 = warp_points_np(k0v[0], H)
+        inb = ((wk0[:, 0] > 5) & (wk0[:, 0] < img1.shape[1] - 5)
+               & (wk0[:, 1] > 5) & (wk0[:, 1] < img1.shape[0] - 5))
+        d = np.linalg.norm(
+            wk0[inb][:, None] - k0v[1][None], axis=-1).min(1)
+        reps.append(float((d < 3.0).mean()))
+        locs.append(float(np.median(d[d < 3.0])) if (d < 3.0).any() else 99.0)
+    assert np.median(reps) > 0.55, reps
+    assert np.median(locs) < 2.0, locs
