@@ -1,0 +1,213 @@
+"""Sub-pixel two-view match refinement (``filter``-slot model).
+
+Geometry-guided photometric refinement of matched keypoint positions — the
+fine stage that detector-free pipelines build in (reference delegates it to
+kornia's LoFTR fine module, gluefactory/models/matchers/loftr.py:40-66) and
+classical SfM applies as KLT/ZNCC patch refinement. Sparse pipelines in the
+reference (SuperPoint+LightGlue) ship WITHOUT one, which caps their accuracy
+at the detector's localization error; this module closes that gap for any
+matcher as a drop-in pipeline component.
+
+Per round:
+  1. fit a global homography to the CURRENT matches with a Cauchy-IRLS
+     weighted DLT (same estimator class as eval/utils.py:85-127) — used
+     ONLY to linearize local patch shape (a 2x2 Jacobian per match), never
+     to move points;
+  2. sample an affine-compensated template around ``kp0`` in image0 and
+     candidate patches on a small displacement grid around the current
+     ``kp1`` in image1;
+  3. score with ZNCC (invariant to local affine illumination, so the
+     photometric i_-style sequences refine too), take the sub-pixel peak by
+     2D quadratic interpolation around the argmax;
+  4. move ``kp1`` by that displacement — gated on ZNCC quality and template
+     texture, so occlusions/outliers and flat regions keep their original
+     positions.
+
+The search is strictly LOCAL (±``search_radius`` px around the matcher's own
+prediction): all position information comes from the images; the fitted H
+only shapes the template. Runs fully batched/jittable with static shapes;
+refined positions are scattered back into ``keypoints1`` via a duplicate-safe
+delta scatter-add (matchers here are 1-1 mutual, so each index receives at
+most one delta).
+"""
+
+from __future__ import annotations
+
+from typing import ClassVar
+
+import jax.numpy as jnp
+
+from ...geometry.homography import compute_homography, warp_points
+from ...ops.interpolate import bilinear_sample
+from ..base_model import BaseModel
+
+
+def _to_gray(image: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W, 1) float32."""
+    img = image.astype(jnp.float32)
+    if img.shape[-1] > 1:
+        img = jnp.mean(img, axis=-1, keepdims=True)
+    return img
+
+
+def _fit_homography_irls(
+    p0: jnp.ndarray, p1: jnp.ndarray, w: jnp.ndarray, iters: int, scale: float
+) -> jnp.ndarray:
+    """Batched weighted DLT + Cauchy IRLS: (B, N, 2) x2, (B, N) -> (B, 3, 3)."""
+    H = compute_homography(p0, p1, w)
+    for _ in range(int(iters)):
+        r = jnp.sqrt(jnp.sum((warp_points(p0, H) - p1) ** 2, -1) + 1e-12)
+        wi = w / (1.0 + (r / scale) ** 2)
+        H = compute_homography(p0, p1, wi)
+    return H
+
+
+def _homography_jacobian(H: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """d(H x)/dx at pts: (B, 3, 3), (B, N, 2) -> (B, N, 2, 2)."""
+    h = H[:, None]  # (B, 1, 3, 3)
+    x, y = pts[..., 0], pts[..., 1]
+    u = h[..., 0, 0] * x + h[..., 0, 1] * y + h[..., 0, 2]
+    v = h[..., 1, 0] * x + h[..., 1, 1] * y + h[..., 1, 2]
+    w = h[..., 2, 0] * x + h[..., 2, 1] * y + h[..., 2, 2]
+    iw = 1.0 / jnp.where(jnp.abs(w) < 1e-8, jnp.where(w < 0, -1e-8, 1e-8), w)
+    j00 = (h[..., 0, 0] - u * iw * h[..., 2, 0]) * iw
+    j01 = (h[..., 0, 1] - u * iw * h[..., 2, 1]) * iw
+    j10 = (h[..., 1, 0] - v * iw * h[..., 2, 0]) * iw
+    j11 = (h[..., 1, 1] - v * iw * h[..., 2, 1]) * iw
+    return jnp.stack(
+        [jnp.stack([j00, j01], -1), jnp.stack([j10, j11], -1)], -2
+    )  # (B, N, 2, 2)
+
+
+def _quadratic_peak(score: jnp.ndarray, side: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sub-pixel argmax of a (B, N, side*side) correlation surface.
+
+    Returns (displacement (B, N, 2) in grid units relative to the grid
+    center, peak value (B, N)). The argmax is clamped one cell into the
+    interior so the 3x3 quadratic fit always has support.
+    """
+    b, n, _ = score.shape
+    flat_idx = jnp.argmax(score, axis=-1)
+    iy = jnp.clip(flat_idx // side, 1, side - 2)
+    ix = jnp.clip(flat_idx % side, 1, side - 2)
+    s2 = score.reshape(b, n, side, side)
+
+    def at(dy, dx):
+        idx = (iy + dy) * side + (ix + dx)
+        return jnp.take_along_axis(score, idx[..., None], axis=-1)[..., 0]
+
+    c = at(0, 0)
+    # 1D quadratic fit per axis; a proper maximum has negative curvature
+    def sub(lo, hi):
+        denom = lo + hi - 2.0 * c
+        off = jnp.where(denom < -1e-9, 0.5 * (lo - hi) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx = sub(at(0, -1), at(0, 1))
+    dy = sub(at(-1, 0), at(1, 0))
+    half = (side - 1) / 2.0
+    disp = jnp.stack([ix.astype(jnp.float32) + dx - half,
+                      iy.astype(jnp.float32) + dy - half], -1)
+    return disp, c
+
+
+class MatchRefiner(BaseModel):
+    """Refine matched ``keypoints1`` positions photometrically (see module
+    docstring). Plug into ``TwoViewPipeline``'s ``filter`` slot."""
+
+    default_conf: ClassVar[dict] = {
+        "patch_radius": 4,      # template half-size -> (2r+1)^2 pixels
+        "search_radius": 3,     # displacement grid half-size (px)
+        "search_step": 1.0,     # displacement grid spacing (px)
+        "rounds": 2,            # refine -> refit H -> refine
+        "irls_iters": 3,        # Cauchy IRLS passes for the shape-only H
+        "irls_scale": 2.0,      # Cauchy scale (px)
+        "zncc_min": 0.4,        # keep the original position below this
+        "min_texture": 0.01,    # min template std (images in [0, 1])
+        "affine_compensation": True,
+        "trainable": False,
+    }
+    required_data_keys: ClassVar[list] = ["view0", "view1"]
+
+    def _forward(self, data: dict) -> dict:
+        conf = self.conf
+        kp0 = data["keypoints0"].astype(jnp.float32)
+        kp1 = data["keypoints1"].astype(jnp.float32)
+        matches0 = data["matches0"]
+        mscores0 = data.get("matching_scores0")
+        if mscores0 is None:
+            mscores0 = jnp.ones_like(matches0, jnp.float32)
+        img0 = _to_gray(data["view0"]["image"])
+        img1 = _to_gray(data["view1"]["image"])
+        b, n = matches0.shape
+        m = kp1.shape[1]
+
+        valid = matches0 >= 0
+        if "keypoint_valid0" in data:
+            valid = valid & (data["keypoint_valid0"] > 0)
+        idx1 = jnp.clip(matches0, 0, m - 1)
+        p0 = kp0
+        p1 = jnp.take_along_axis(kp1, idx1[..., None], axis=1)
+        w_match = (mscores0 * valid).astype(jnp.float32)
+
+        r = int(conf.patch_radius)
+        s = int(conf.search_radius)
+        step = float(conf.search_step)
+        side = 2 * s + 1
+        ax_p = jnp.arange(-r, r + 1, dtype=jnp.float32)
+        gy, gx = jnp.meshgrid(ax_p, ax_p, indexing="ij")
+        patch = jnp.stack([gx.ravel(), gy.ravel()], -1)  # (P, 2)
+        ax_d = jnp.arange(-s, s + 1, dtype=jnp.float32) * step
+        dy, dx = jnp.meshgrid(ax_d, ax_d, indexing="ij")
+        disp = jnp.stack([dx.ravel(), dy.ravel()], -1)  # (D, 2)
+        p = patch.shape[0]
+        d = disp.shape[0]
+
+        # the template never changes across rounds: sample it once
+        t_pts = p0[:, :, None, :] + patch[None, None]
+        tpl = bilinear_sample(img0, t_pts.reshape(b, n * p, 2)).reshape(b, n, p)
+        t_mean = jnp.mean(tpl, -1, keepdims=True)
+        t_std = jnp.sqrt(jnp.mean((tpl - t_mean) ** 2, -1) + 1e-12)
+        tpl_n = (tpl - t_mean) / (t_std[..., None] + 1e-6)
+        textured = t_std > float(conf.min_texture)
+
+        for _ in range(int(conf.rounds)):
+            # shape-only linearization of the current two-view geometry
+            if conf.affine_compensation:
+                H = _fit_homography_irls(
+                    p0, p1, w_match, conf.irls_iters, float(conf.irls_scale)
+                )
+                A = _homography_jacobian(H, p0)  # (B, N, 2, 2)
+                warped_patch = jnp.einsum("bnij,pj->bnpi", A, patch)
+            else:
+                warped_patch = jnp.broadcast_to(
+                    patch[None, None], (b, n, p, 2)
+                )
+            c_pts = (
+                p1[:, :, None, None, :]
+                + disp[None, None, :, None, :]
+                + warped_patch[:, :, None, :, :]
+            )  # (B, N, D, P, 2)
+            cand = bilinear_sample(
+                img1, c_pts.reshape(b, n * d * p, 2)
+            ).reshape(b, n, d, p)
+            c_mean = jnp.mean(cand, -1, keepdims=True)
+            c_std = jnp.sqrt(jnp.mean((cand - c_mean) ** 2, -1) + 1e-12)
+            cand_n = (cand - c_mean) / (c_std[..., None] + 1e-6)
+            zncc = jnp.mean(tpl_n[:, :, None, :] * cand_n, -1)  # (B, N, D)
+            delta, peak = _quadratic_peak(zncc, side)
+            ok = valid & textured & (peak > float(conf.zncc_min))
+            p1 = jnp.where(ok[..., None], p1 + delta * step, p1)
+
+        # duplicate-safe write-back: scatter-add the per-match delta (1-1
+        # matching -> each kp1 index receives at most one nonzero delta;
+        # clipped unmatched rows add exactly zero)
+        final_delta = jnp.where(valid[..., None], p1 - jnp.take_along_axis(
+            kp1, idx1[..., None], axis=1), 0.0)
+        zeros = jnp.zeros_like(kp1)
+        bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
+        kp1_new = kp1 + zeros.at[bidx, idx1].add(final_delta)
+        return {"keypoints1": kp1_new, "refined1": valid}
+
+
+__main_model__ = MatchRefiner
