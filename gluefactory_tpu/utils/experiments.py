@@ -30,8 +30,30 @@ def state_to_flat_dict(state) -> dict:
 
 def restore_from_flat_dict(target, flat: dict):
     """Inverse of state_to_flat_dict given a template pytree with the same
-    structure (e.g. freshly-initialized params / optimizer state)."""
+    structure (e.g. freshly-initialized params / optimizer state).
+
+    If NO checkpoint key matches the template, the checkpoint was written at
+    a different pipeline nesting level (a standalone extractor loaded into a
+    ``two_view_pipeline``, or vice versa) — adapt by inserting/stripping the
+    ``['extractor']`` scope rather than silently keeping every initialized
+    value (fine-tune stages like configs/jpldd_desc_stage.yaml depend on
+    this)."""
     paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(target)
+    target_keys = {jax.tree_util.keystr(p) for p, _ in paths_and_leaves}
+    if flat and not (target_keys & set(flat)):
+        candidates = [
+            {k.replace("['params']", "['params']['extractor']", 1): v
+             for k, v in flat.items()},
+            {k.replace("['params']['extractor']", "['params']", 1): v
+             for k, v in flat.items()},
+        ]
+        best = max(candidates, key=lambda c: len(target_keys & set(c)))
+        if target_keys & set(best):
+            logger.info(
+                "Adapted checkpoint nesting level: %d/%d keys now match",
+                len(target_keys & set(best)), len(best),
+            )
+            flat = best
     new_leaves = []
     for path, leaf in paths_and_leaves:
         key = jax.tree_util.keystr(path)
