@@ -42,6 +42,11 @@ class JPLDD(BaseModel):
         # (e.g. {"name": "vgg_unet", "tiny": true} or {"name": "dinov2"})
         # and adapted to (H, W, dim) with a 1x1 projection.
         "backbone": {"name": "inline"},
+        # pin the trunk's expected input channels so a checkpoint trained on
+        # one engine (3-ch synthetic shapes) fine-tunes on another (1-ch
+        # homographies): gray inputs are tiled / color averaged to match.
+        # None = accept whatever the data provides (shape inferred at init).
+        "input_channels": None,
         "max_num_keypoints": 1024,
         "detection_threshold": 0.01,
         "nms_radius": 2,
@@ -111,6 +116,14 @@ class JPLDD(BaseModel):
             self.line_extractor = make_submodel(self.conf.line_extractor)
 
     def backbone(self, image):
+        ic = self.conf.input_channels
+        if ic and image.shape[-1] != ic:
+            if image.shape[-1] == 1:
+                image = jnp.repeat(image, ic, axis=-1)
+            else:
+                image = jnp.repeat(
+                    jnp.mean(image, axis=-1, keepdims=True), ic, axis=-1
+                )
         if self.conf.backbone.get("name", "inline") != "inline":
             feats = self.ext_backbone({"image": image})["features"]
             b, h, w = image.shape[0], image.shape[1], image.shape[2]
