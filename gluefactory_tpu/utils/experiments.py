@@ -42,10 +42,13 @@ def restore_from_flat_dict(target, flat: dict):
     target_keys = {jax.tree_util.keystr(p) for p, _ in paths_and_leaves}
     if flat and not (target_keys & set(flat)):
         candidates = [
-            {k.replace("['params']", "['params']['extractor']", 1): v
-             for k, v in flat.items()},
-            {k.replace("['params']['extractor']", "['params']", 1): v
-             for k, v in flat.items()},
+            {k.replace("['params']", f"['params']['{scope}']", 1): v
+             for k, v in flat.items()}
+            for scope in ("extractor", "matcher")
+        ] + [
+            {k.replace(f"['params']['{scope}']", "['params']", 1): v
+             for k, v in flat.items()}
+            for scope in ("extractor", "matcher")
         ]
         best = max(candidates, key=lambda c: len(target_keys & set(c)))
         if target_keys & set(best):
