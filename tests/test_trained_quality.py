@@ -611,3 +611,40 @@ def test_trained_sold2_quality(tmp_path):
         recs.append(float(correct / max(v0.sum(), 1)))
     assert np.median(precs) > 0.5, precs
     assert np.median(recs) > 0.3, recs
+
+
+def test_trained_jpldd_desc_quality(tmp_path):
+    """JPLDD phase-B gate (two-view descriptor stage fine-tuned from the
+    phase-A shapes checkpoint, committed blob jpldd_tpu_stage1_desc):
+    JPLDD + NN matching on fresh family-A renders. Benchmark row
+    (outputs/results/hpatches_extended/jpldd_stage1_desc): mAA 57.0,
+    prec@3px 0.865, kp repeatability 0.851 / loc 1.16 px, 263
+    matches/pair — vs phase-A-only (jpldd_stage0): mAA 25.4 /
+    prec@3px 0.459 with untrained descriptors."""
+    blob = WEIGHTS_PATH / "jpldd_tpu_stage1_desc.f16.msgpack"
+    if not blob.exists():
+        pytest.skip("no committed JPLDD phase-B weights")
+    pairs = render_pairs(tmp_path, n_seqs=2)
+    model = build_model("two_view_pipeline", {
+        "extractor": {
+            "name": "extractors.joint_point_line_extractor",
+            "max_num_keypoints": 512,
+            "detection_threshold": 0.005,
+            "extract_lines": False,
+        },
+        "matcher": {"name": "matchers.nearest_neighbor_matcher"},
+    })
+    data0 = {
+        "view0": {"image": jnp.zeros((1, 360, 480, 3)),
+                  "image_size": jnp.asarray([[480.0, 360.0]])},
+        "view1": {"image": jnp.zeros((1, 360, 480, 3)),
+                  "image_size": jnp.asarray([[480.0, 360.0]])},
+    }
+    params = model.init(jax.random.key(0), data0)
+    flat, _, _ = load_weight_blob(blob)
+    params = restore_from_flat_dict(params, flat)
+    stats = run_quality(model, params, pairs)
+    print("JPLDD desc stats:", {k: float(np.median(v)) for k, v in stats.items()})
+    assert np.median(stats["matches"]) > 100, stats
+    assert np.median(stats["prec3"]) > 0.6, stats
+    assert np.median(stats["h_err"]) < 5.0, stats
