@@ -6,11 +6,19 @@ Prints ONE JSON line at the very end:
    "mfu": ..., "flops_per_pair": ..., "variants": {...}, "attempts": [...]}
 
 Outage-proofing (the axon TPU tunnel wedges for 40-60 min at a time):
-  - the backend probe retries with backoff for up to GFTPU_BENCH_BUDGET
-    seconds (default 3600) instead of giving up after one window;
-  - each measurement variant runs in its OWN subprocess with a timeout, so a
-    wedged graph can never hang the whole bench — the parent always prints
-    its JSON line from whatever variants succeeded;
+  - the backend probe retries with backoff, capped at ~10 min (a longer
+    wait would eat the driver window that killed BENCH_r03 with rc=124);
+  - variants run SEQUENTIALLY inside one worker subprocess (backend init
+    through the tunnel costs 5+ min — per-variant subprocesses are what
+    timed out BENCH_r03); a hung variant kills only that worker, and a
+    fresh worker resumes with the remaining variants;
+  - the JSON line is RE-PRINTED after every variant (the driver reads the
+    last line of the tail, so a partial record always lands even if the
+    driver kills us mid-run), and SIGTERM/SIGALRM/SIGINT dump the current
+    record before exiting;
+  - all variant subprocesses share one persistent XLA compilation cache
+    (GFTPU_BENCH_CACHE, default /root/.cache/jax_bench_cache) so repeat
+    graphs don't pay the 8-20 min tunnel recompile twice;
   - the attempt log (probe timings, per-variant status) is embedded in the
     JSON for the record.
 
@@ -39,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -46,7 +55,16 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent))
 
+# honor GFTPU_PLATFORM before any jax use (mirrors gluefactory_tpu.__init__;
+# the axon sitecustomize pins the tunnel otherwise) — lets the bench be
+# driven on the host CPU for verification
+if os.environ.get("GFTPU_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", os.environ["GFTPU_PLATFORM"])
+
 BASELINE_PAIRS_PER_S = 55.0
+BENCH_CACHE = os.environ.get("GFTPU_BENCH_CACHE", "/root/.cache/jax_bench_cache")
 IMAGE_SIZE = int(os.environ.get("GFTPU_BENCH_SIZE", 512))
 WARMUP = int(os.environ.get("GFTPU_BENCH_WARMUP", 3))
 ITERS = int(os.environ.get("GFTPU_BENCH_ITERS", 10))
@@ -258,116 +276,105 @@ def _run_train_step(dtype: str, batch: int) -> dict:
     return _finish(batch, step, (params, opt_state, data), checks, dt)
 
 
-def _worker_main(variant: str, batch: int):
-    stats = run_variant(variant, batch)
-    print(json.dumps({"worker_stats": stats}))
-
-
-def _spawn_variant(variant: str, batch: int, timeout_s: float) -> tuple[dict | None, str]:
-    """Run a variant in a subprocess; returns (stats | None, status)."""
-    try:
-        proc = subprocess.run(
-            [sys.executable, str(Path(__file__).resolve()), "--worker",
-             variant, str(batch)],
-            capture_output=True, text=True, timeout=timeout_s,
-            cwd=str(Path(__file__).parent),
-        )
-    except subprocess.TimeoutExpired:
-        return None, f"timeout>{timeout_s:.0f}s"
-    if proc.returncode != 0:
-        tail = (proc.stderr or "")[-300:].replace("\n", " | ")
-        return None, f"rc={proc.returncode}: {tail}"
-    for line in reversed(proc.stdout.strip().splitlines()):
+def _worker_main(specs: list[str]):
+    """Run a SEQUENCE of 'variant:batch' specs in this one process, printing
+    a JSON line after each. Backend init through the axon tunnel can take
+    5+ min (measured 321 s on 2026-08-20) — paying it once per variant is
+    what timed out BENCH_r03, so all variants share one process and the
+    parent restarts us only when a spec hangs."""
+    for spec in specs:
+        variant, _, b = spec.partition(":")
         try:
-            return json.loads(line)["worker_stats"], "ok"
-        except (json.JSONDecodeError, KeyError, ValueError):
-            continue
-    return None, "no-output"
+            stats = run_variant(variant, int(b or 8))
+            print(json.dumps({"worker_variant": spec, "stats": stats}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — report and move on
+            print(json.dumps({"worker_variant": spec,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
 
 
-def main():
-    budget = float(os.environ.get("GFTPU_BENCH_BUDGET", 3600))
-    t_start = time.monotonic()
-    attempts = []
-    # --- probe loop: outlast tunnel outages --------------------------------
-    reachable = False
-    wait = 0.0
-    while time.monotonic() - t_start < budget * 0.7:
-        t0 = time.monotonic()
-        ok = _probe_once(timeout_s=120.0)
-        attempts.append(
-            {"t": round(time.monotonic() - t_start, 1),
-             "probe": "ok" if ok else "hung"}
+def _run_specs(specs, deadline, attempts, variants, emit,
+               first_timeout=1500.0, per_timeout=900.0):
+    """Drive worker processes through `specs` (list of (name, 'variant:batch')).
+    One worker runs all pending specs sequentially; if a spec produces no
+    line within its timeout the worker is killed, the spec is recorded as
+    hung, and a fresh worker resumes with the remainder."""
+    import queue
+    import threading
+
+    env = dict(os.environ)
+    # every worker shares one persistent compilation cache — repeat graph
+    # shapes skip the 8-20 min tunnel recompile
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", BENCH_CACHE)
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    pending = list(specs)
+    while pending and time.monotonic() < deadline - 120:
+        proc = subprocess.Popen(
+            [sys.executable, str(Path(__file__).resolve()), "--worker",
+             *[s for _, s in pending]],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            cwd=str(Path(__file__).parent), env=env,
         )
-        if ok:
-            reachable = True
-            break
-        wait = min(max(60.0, wait * 1.7), 420.0)
-        time.sleep(wait)
-    if not reachable:
-        print(json.dumps({
-            "metric": "sp+lightglue_pair_throughput_backend_unreachable",
-            "value": 0.0, "unit": "pairs/s", "vs_baseline": 0.0,
-            "attempts": attempts,
-        }))
-        os._exit(0)
+        q: queue.Queue = queue.Queue()
+        threading.Thread(
+            target=lambda: ([q.put(ln) for ln in proc.stdout], q.put(None)),
+            daemon=True).start()
+        timeout = first_timeout  # first spec pays backend init + compile
+        restart = False
+        while pending and not restart:
+            budget_left = deadline - time.monotonic()
+            name, spec = pending[0]
+            try:
+                line = q.get(timeout=max(30.0, min(timeout, budget_left)))
+            except queue.Empty:
+                proc.kill()
+                status = ("hung" if budget_left > timeout
+                          else f"deadline({budget_left:.0f}s left)")
+                attempts.append({"variant": name, "status": status})
+                pending.pop(0)
+                restart = budget_left > timeout  # else: out of time, stop
+                if not restart:
+                    pending.clear()
+                break
+            if line is None:  # worker exited (crash before finishing specs)
+                attempts.append({"variant": name,
+                                 "status": f"worker-exit rc={proc.wait()}"})
+                pending.pop(0)
+                restart = True
+                break
+            try:
+                rec = json.loads(line)
+                got_spec = rec["worker_variant"]
+            except (json.JSONDecodeError, KeyError, ValueError):
+                continue  # stray output line
+            if got_spec != spec:
+                continue
+            pending.pop(0)
+            if "stats" in rec:
+                variants[name] = rec["stats"]
+                attempts.append({"variant": name, "status": "ok"})
+            else:
+                attempts.append({"variant": name,
+                                 "status": rec.get("error", "error")})
+            emit()
+            timeout = per_timeout  # init is paid; later specs get less
+        if proc.poll() is None and not pending:
+            proc.kill()
 
-    import jax
 
-    backend = jax.default_backend()
-    variants: dict[str, dict] = {}
-    # --- headline: f32 XLA, retried across outages -------------------------
-    for attempt in range(4):
-        remaining = budget - (time.monotonic() - t_start)
-        if remaining < 300:
-            break
-        val, status = _spawn_variant("f32", 8, min(1500.0, remaining))
-        attempts.append({"t": round(time.monotonic() - t_start, 1),
-                         "variant": "f32", "status": status})
-        if val is not None:
-            variants["f32_xla"] = val
-            break
-        time.sleep(90.0 * (attempt + 1))
-    # --- extra variants (best-effort, never jeopardize the headline) -------
-    extra: list[tuple[str, str, int]] = [
-        ("bf16", "bf16", 8),
-        ("matcher_only", "matcher_only", 8),
-        ("bf16_b32", "bf16", 32),
-        ("matcher_only_b128", "matcher_only", 128),
-        ("train_bf16", "train_bf16", 8),
-    ]
-    on_tunnel = bool(os.environ.get("PALLAS_AXON_REMOTE_COMPILE"))
-    if os.environ.get("GFTPU_BENCH_PALLAS") == "1" or (
-        backend == "tpu" and not on_tunnel
-    ):
-        extra.append(("pallas", "pallas", 8))
-    elif backend == "tpu":
-        # record WHY the flagship kernel is off (round-2 verdict ask #10):
-        # Mosaic compiles hang through the axon remote-compile tunnel and can
-        # wedge it for every process (see CLAUDE.md)
-        attempts.append({"t": round(time.monotonic() - t_start, 1),
-                         "variant": "pallas", "status": "blocked_by_tunnel"})
-    for name, variant, batch in extra:
-        remaining = budget - (time.monotonic() - t_start)
-        if remaining < 400 or "f32_xla" not in variants:
-            break
-        val, status = _spawn_variant(variant, batch, min(900.0, remaining - 60))
-        attempts.append({"t": round(time.monotonic() - t_start, 1),
-                         "variant": name, "status": status})
-        if val is not None:
-            variants[name] = val
-
+def _compose(backend: str, variants: dict, attempts: list) -> dict:
+    """Build the headline JSON record from whatever has succeeded so far."""
     if not variants:
-        print(json.dumps({
+        return {
             "metric": f"sp+lightglue_pair_throughput_{backend}_failed",
             "value": 0.0, "unit": "pairs/s", "vs_baseline": 0.0,
             "attempts": attempts,
-        }))
-        os._exit(0)
+        }
     pipeline_variants = {
         k: v for k, v in variants.items()
         if not k.startswith(("matcher_only", "train_"))
-    }
+    } or variants
     best_name, best = max(
         pipeline_variants.items(), key=lambda kv: kv[1]["pairs_per_s"])
     val = best["pairs_per_s"]
@@ -382,7 +389,91 @@ def main():
     for k in ("mfu", "flops_per_pair"):
         if k in best:
             out[k] = best[k]
-    print(json.dumps(out))
+    return out
+
+
+def _emit(record: dict):
+    """Print the record as one JSON line and flush. Called after EVERY
+    variant — the driver parses the LAST line of the tail, so each emission
+    supersedes the previous one and a mid-run kill still lands a result
+    (BENCH_r03 printed only at the very end and recorded nothing, rc=124)."""
+    print(json.dumps(record), flush=True)
+
+
+def main():
+    budget = float(os.environ.get("GFTPU_BENCH_BUDGET", 2400))
+    t_start = time.monotonic()
+    attempts = []
+    state = {"backend": "unknown", "variants": {}, "attempts": attempts}
+
+    def _dump_and_exit(signum, frame):
+        attempts.append({"t": round(time.monotonic() - t_start, 1),
+                         "signal": signal.Signals(signum).name})
+        _emit(_compose(state["backend"], state["variants"], attempts))
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGALRM, signal.SIGHUP):
+        signal.signal(sig, _dump_and_exit)
+    # hard self-deadline slightly inside the budget: dump whatever we have
+    signal.alarm(int(budget))
+
+    # --- probe loop: outlast tunnel outages (capped at ~10 min) ------------
+    reachable = False
+    wait = 0.0
+    while time.monotonic() - t_start < min(600.0, budget * 0.5):
+        ok = _probe_once(timeout_s=90.0)
+        attempts.append(
+            {"t": round(time.monotonic() - t_start, 1),
+             "probe": "ok" if ok else "hung"}
+        )
+        if ok:
+            reachable = True
+            break
+        wait = min(max(45.0, wait * 1.6), 180.0)
+        time.sleep(wait)
+    if not reachable:
+        _emit({
+            "metric": "sp+lightglue_pair_throughput_backend_unreachable",
+            "value": 0.0, "unit": "pairs/s", "vs_baseline": 0.0,
+            "attempts": attempts,
+        })
+        os._exit(0)
+
+    import jax
+
+    backend = jax.default_backend()
+    state["backend"] = backend
+    variants = state["variants"]
+
+    def emit():
+        _emit(_compose(backend, variants, attempts))
+
+    # Spec order: headline f32 first, then the proven headline-beater bf16
+    # (r02: 246 vs 139 pairs/s), then the verdict-requested AMP train-step
+    # number, then the serving/sweep extras — whatever the deadline cuts off
+    # is already recorded incrementally.
+    specs: list[tuple[str, str]] = [
+        ("f32_xla", "f32:8"),
+        ("bf16", "bf16:8"),
+        ("train_bf16", "train_bf16:8"),
+        ("matcher_only", "matcher_only:8"),
+        ("bf16_b32", "bf16:32"),
+        ("matcher_only_b128", "matcher_only:128"),
+    ]
+    on_tunnel = bool(os.environ.get("PALLAS_AXON_REMOTE_COMPILE"))
+    if os.environ.get("GFTPU_BENCH_PALLAS") == "1" or (
+        backend == "tpu" and not on_tunnel
+    ):
+        specs.insert(2, ("pallas", "pallas:8"))
+    elif backend == "tpu":
+        # record WHY the flagship kernel is off (round-2 verdict ask #10):
+        # Mosaic compiles hang through the axon remote-compile tunnel and can
+        # wedge it for every process (see CLAUDE.md)
+        attempts.append({"t": round(time.monotonic() - t_start, 1),
+                         "variant": "pallas", "status": "blocked_by_tunnel"})
+    _run_specs(specs, deadline=t_start + budget, attempts=attempts,
+               variants=variants, emit=emit)
+    emit()
 
 
 def _probe_once(timeout_s: float) -> bool:
@@ -404,7 +495,7 @@ def _probe_once(timeout_s: float) -> bool:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
-        _worker_main(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 8)
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        _worker_main(sys.argv[2:])
     else:
         main()

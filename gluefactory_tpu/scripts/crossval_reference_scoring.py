@@ -1,0 +1,246 @@
+"""Cross-validate the eval stack against the REFERENCE's own scoring code.
+
+Round-3 verdict ask #3: every quality number in this repo comes from our own
+JAX eval math; the strongest parity evidence obtainable without real data /
+official weights is to score the SAME cached predictions with the reference
+framework's scoring functions (torch) and check the summaries agree.
+
+What runs:
+  1. our HPatches benchmark (SIFT+NN, weight-free) on the rendered famA set
+     -> predictions.h5 + our summaries (reuses the cache when present);
+  2. the reference's scoring math over the same predictions.h5:
+       - match precision via ``sym_homography_error``
+         (/root/reference/gluefactory/geometry/homography.py:104-117,
+         loaded directly via importlib — the reference package __init__ needs
+         omegaconf which this env lacks),
+       - AUC aggregation via ``AUCMetric``
+         (/root/reference/gluefactory/utils/tools.py:43-60),
+       - one-shot weighted DLT + ``homography_corner_error``
+         (reference eval/utils.py:177-197 semantics; kornia is not installed,
+         so the DLT here is an independent torch implementation of the
+         standard normalized weighted DLT, NOT a port);
+  3. a parity report: per-pair max |prec_ref - prec_ours|, AUC deltas, and
+     the DLT comparison. Note the DLT algorithms intentionally differ: ours
+     runs 3 Cauchy-IRLS passes (round-3 fix), the reference's eval is a
+     single weighted DLT — the report shows both, and asserts ours is no
+     worse.
+
+Usage:
+  GFTPU_PLATFORM=cpu python -m gluefactory_tpu.scripts.crossval_reference_scoring
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+
+REF = Path("/root/reference/gluefactory")
+
+
+def load_reference_scoring():
+    """Import the reference's scoring modules without executing the package
+    __init__ (which needs omegaconf). Returns (homography_mod, tools_mod)."""
+    import torch  # noqa: F401 — the reference modules require it
+
+    def fake_pkg(name, path):
+        m = types.ModuleType(name)
+        m.__path__ = [str(path)]
+        sys.modules[name] = m
+        return m
+
+    if "refgf" not in sys.modules:
+        fake_pkg("refgf", REF)
+        fake_pkg("refgf.geometry", REF / "geometry")
+        fake_pkg("refgf.utils", REF / "utils")
+
+    def load_mod(fullname, path):
+        if fullname in sys.modules and hasattr(sys.modules[fullname], "__file__"):
+            return sys.modules[fullname]
+        spec = importlib.util.spec_from_file_location(fullname, str(path))
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[fullname] = mod
+        spec.loader.exec_module(mod)
+        return mod
+
+    load_mod("refgf.geometry.utils", REF / "geometry" / "utils.py")
+    hom = load_mod("refgf.geometry.homography", REF / "geometry" / "homography.py")
+    tools = load_mod("refgf.utils.tools", REF / "utils" / "tools.py")
+    return hom, tools
+
+
+def weighted_dlt_torch(pts0, pts1, weights):
+    """Normalized weighted DLT in torch (kornia find_homography_dlt
+    semantics: hartley normalization, per-correspondence weights on the 2
+    constraint rows, smallest-singular-vector solution). Independent
+    implementation from the textbook algorithm — the reference calls kornia,
+    which this env lacks."""
+    import torch
+
+    def normalize(p):
+        mean = p.mean(0)
+        scale = 1.4142135 / (p - mean).norm(dim=1).mean().clamp(min=1e-8)
+        T = torch.tensor(
+            [[scale, 0, -scale * mean[0]], [0, scale, -scale * mean[1]], [0, 0, 1.0]],
+            dtype=p.dtype,
+        )
+        pn = (p - mean) * scale
+        return pn, T
+
+    p0n, T0 = normalize(pts0)
+    p1n, T1 = normalize(pts1)
+    n = p0n.shape[0]
+    x, y = p0n[:, 0], p0n[:, 1]
+    u, v = p1n[:, 0], p1n[:, 1]
+    zeros = torch.zeros(n, dtype=pts0.dtype)
+    ones = torch.ones(n, dtype=pts0.dtype)
+    ax = torch.stack(
+        [-x, -y, -ones, zeros, zeros, zeros, u * x, u * y, u], dim=1)
+    ay = torch.stack(
+        [zeros, zeros, zeros, -x, -y, -ones, v * x, v * y, v], dim=1)
+    w = weights.sqrt().clamp(min=0.0)[:, None]
+    A = torch.cat([ax * w, ay * w], dim=0)
+    _, _, Vh = torch.linalg.svd(A)
+    Hn = Vh[-1].reshape(3, 3)
+    H = torch.linalg.inv(T1) @ Hn @ T0
+    return H / H[2, 2]
+
+
+def reference_score_pair(hom, kp0, kp1, m0, ms0, H_gt, image_size):
+    """Reference eval/utils.py:73-94 (eval_matches_homography) +
+    :177-197 (eval_homography_dlt) math on one pair."""
+    import torch
+
+    kp0 = torch.from_numpy(np.asarray(kp0, np.float64))
+    kp1 = torch.from_numpy(np.asarray(kp1, np.float64))
+    m0 = torch.from_numpy(np.asarray(m0, np.int64))
+    ms0 = torch.from_numpy(np.asarray(ms0, np.float64))
+    H_gt = torch.from_numpy(np.asarray(H_gt, np.float64))
+    valid = m0 > -1
+    pts0 = kp0[valid]
+    pts1 = kp1[m0[valid]]
+    scores = ms0[valid]
+    out = {"num_matches": int(pts0.shape[0])}
+    err = hom.sym_homography_error(pts0, pts1, H_gt)
+    out["prec@1px"] = float((err < 1).double().mean().nan_to_num())
+    out["prec@3px"] = float((err < 3).double().mean().nan_to_num())
+    out["prec@5px"] = float((err < 5).double().mean().nan_to_num())
+    if pts0.shape[0] >= 4:
+        H_dlt = weighted_dlt_torch(pts0, pts1, scores)
+        out["H_error_dlt"] = float(
+            hom.homography_corner_error(
+                H_dlt, H_gt, torch.tensor(image_size, dtype=torch.float64)[None]
+            )
+        )
+    else:
+        out["H_error_dlt"] = float("inf")
+    return out
+
+
+def main():
+    from ..core.config import Config
+    from ..eval.hpatches import HPatchesPipeline
+    from ..models.cache_loader import CacheLoader
+    from ..settings import EVAL_PATH
+    from ..utils.tensor import map_tensor
+
+    tag = "sift_nn_crossval"
+    conf = {
+        "model": {
+            "name": "two_view_pipeline",
+            "extractor": {"name": "extractors.sift", "max_num_keypoints": 2048},
+            "matcher": {
+                "name": "matchers.nearest_neighbor_matcher",
+                "ratio_thresh": 0.8,
+            },
+        },
+    }
+    pipeline = HPatchesPipeline(Config(conf))
+    exp_dir = EVAL_PATH / "hpatches" / tag
+    our_summaries, our_results = pipeline.run(exp_dir)
+
+    hom, tools = load_reference_scoring()
+    loader = pipeline.get_dataloader()
+    cache_loader = CacheLoader(
+        {"path": str(exp_dir / "predictions.h5"), "collate": False})
+    ref_rows = []
+    names = []
+    for batch in loader:
+        name = batch["name"][0]
+        pred = cache_loader({
+            "name": [name],
+            **{k: v for k, v in batch.items() if k.startswith("view")},
+        })
+        pred = {k: np.asarray(v) for k, v in pred.items()}
+        data = map_tensor(
+            batch, lambda x: x[0] if hasattr(x, "shape") and x.ndim > 0 else x)
+        ref_rows.append(reference_score_pair(
+            hom,
+            pred["keypoints0"], pred["keypoints1"],
+            pred["matches0"], pred["matching_scores0"],
+            np.asarray(data["H_0to1"]),
+            np.asarray(data["view0"]["image_size"], np.float64),
+        ))
+        names.append(str(name))
+
+    # ---- parity: per-pair precision (identical algorithm both sides) ------
+    order = {str(n): i for i, n in enumerate(our_results["names"])}
+    idx = [order[n] for n in names]
+    report = {"num_pairs": len(names)}
+    for key in ("prec@1px", "prec@3px", "prec@5px", "num_matches"):
+        ours = np.array([our_results[key][i] for i in idx], np.float64)
+        ref = np.array([r[key] for r in ref_rows], np.float64)
+        report[f"max_abs_diff_{key}"] = float(np.max(np.abs(ours - ref)))
+        report[f"mean_ours_{key}"] = float(np.mean(ours))
+        report[f"mean_ref_{key}"] = float(np.mean(ref))
+
+    # ---- parity: AUC aggregation (reference AUCMetric over OUR errors) ----
+    ransac_errs = [
+        e if np.isfinite(e) else 1e6 for e in our_results["H_error_ransac"]
+    ]
+    ref_aucs = tools.AUCMetric([1, 3, 5], ransac_errs).compute()
+    for th, auc in zip([1, 3, 5], ref_aucs):
+        report[f"ref_agg_H_error_ransac@{th}px"] = round(float(auc) * 100, 3)
+        report[f"our_H_error_ransac@{th}px"] = our_summaries[
+            f"H_error_ransac@{th}px"]
+    report["ref_agg_mAA"] = round(float(np.mean(ref_aucs)) * 100, 3)
+    report["our_mAA"] = our_summaries["H_error_ransac_mAA"]
+
+    # ---- DLT: algorithms differ by design (ours = 3x Cauchy-IRLS) ---------
+    ref_dlt = [r["H_error_dlt"] for r in ref_rows]
+    ref_dlt_aucs = tools.AUCMetric(
+        [1, 3, 5], [e if np.isfinite(e) else 1e6 for e in ref_dlt]).compute()
+    our_dlt = [our_results["H_error_dlt"][i] for i in idx]
+    for th, auc in zip([1, 3, 5], ref_dlt_aucs):
+        report[f"ref_oneshot_H_error_dlt@{th}px"] = round(float(auc) * 100, 3)
+        report[f"our_irls_H_error_dlt@{th}px"] = our_summaries[
+            f"H_error_dlt@{th}px"]
+    report["median_ref_oneshot_dlt_err"] = float(np.median(ref_dlt))
+    report["median_our_irls_dlt_err"] = float(np.median(our_dlt))
+
+    out_dir = EVAL_PATH / "hpatches" / "crossval_reference_scoring"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "summaries.json").write_text(json.dumps(report, indent=2))
+    print(json.dumps(report, indent=2))
+
+    # hard checks — identical-math quantities must agree tightly
+    assert report["max_abs_diff_num_matches"] == 0.0
+    assert report["max_abs_diff_prec@1px"] < 1e-6, report
+    assert report["max_abs_diff_prec@3px"] < 1e-6, report
+    for th in (1, 3, 5):
+        d = abs(report[f"ref_agg_H_error_ransac@{th}px"]
+                - report[f"our_H_error_ransac@{th}px"])
+        assert d < 0.05, (th, d)
+    assert abs(report["ref_agg_mAA"] - report["our_mAA"]) < 0.05
+    # IRLS should never be worse than the one-shot DLT in aggregate
+    assert (report["our_irls_H_error_dlt@3px"]
+            >= report["ref_oneshot_H_error_dlt@3px"] - 0.5)
+    print("CROSS-VALIDATION PASSED")
+
+
+if __name__ == "__main__":
+    main()
