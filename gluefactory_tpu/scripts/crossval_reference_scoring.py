@@ -188,7 +188,10 @@ def main():
         names.append(str(name))
 
     # ---- parity: per-pair precision (identical algorithm both sides) ------
-    order = {str(n): i for i, n in enumerate(our_results["names"])}
+    def _s(n):  # h5 string datasets round-trip as bytes
+        return n.decode() if isinstance(n, bytes) else str(n)
+
+    order = {_s(n): i for i, n in enumerate(our_results["names"])}
     idx = [order[n] for n in names]
     report = {"num_pairs": len(names)}
     for key in ("prec@1px", "prec@3px", "prec@5px", "num_matches"):
