@@ -296,6 +296,11 @@ def _worker_main(specs: list[str]):
 
 def _run_specs(specs, deadline, attempts, variants, emit,
                first_timeout=1500.0, per_timeout=900.0):
+    t_origin = time.monotonic()
+
+    def _att(name, status):
+        attempts.append({"t": round(time.monotonic() - t_origin, 1),
+                         "variant": name, "status": status})
     """Drive worker processes through `specs` (list of (name, 'variant:batch')).
     One worker runs all pending specs sequentially; if a spec produces no
     line within its timeout the worker is killed, the spec is recorded as
@@ -331,15 +336,14 @@ def _run_specs(specs, deadline, attempts, variants, emit,
                 proc.kill()
                 status = ("hung" if budget_left > timeout
                           else f"deadline({budget_left:.0f}s left)")
-                attempts.append({"variant": name, "status": status})
+                _att(name, status)
                 pending.pop(0)
                 restart = budget_left > timeout  # else: out of time, stop
                 if not restart:
                     pending.clear()
                 break
             if line is None:  # worker exited (crash before finishing specs)
-                attempts.append({"variant": name,
-                                 "status": f"worker-exit rc={proc.wait()}"})
+                _att(name, f"worker-exit rc={proc.wait()}")
                 pending.pop(0)
                 restart = True
                 break
@@ -353,10 +357,9 @@ def _run_specs(specs, deadline, attempts, variants, emit,
             pending.pop(0)
             if "stats" in rec:
                 variants[name] = rec["stats"]
-                attempts.append({"variant": name, "status": "ok"})
+                _att(name, "ok")
             else:
-                attempts.append({"variant": name,
-                                 "status": rec.get("error", "error")})
+                _att(name, rec.get("error", "error"))
             emit()
             timeout = per_timeout  # init is paid; later specs get less
         if proc.poll() is None and not pending:

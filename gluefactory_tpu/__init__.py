@@ -25,6 +25,21 @@ if os.environ.get("GFTPU_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["GFTPU_PLATFORM"])
 
+# Persistent XLA compilation cache for every package process (trainer,
+# evals, in-train benchmark hook): through the axon tunnel a large graph
+# compile costs 8-20 min, and e.g. the per-epoch benchmark hook re-jits the
+# same forward graph each epoch. Opt out with GFTPU_COMPILE_CACHE=0.
+_cache_dir = os.environ.get("GFTPU_COMPILE_CACHE",
+                            "/root/.cache/jax_gftpu_cache")
+if _cache_dir not in ("", "0") and not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
 __module_name__ = "gluefactory_tpu"
 __version__ = "0.1.0"
 

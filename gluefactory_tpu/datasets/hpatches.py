@@ -30,6 +30,7 @@ class HPatchesDataset(BaseDataset):
         "data_dir": "hpatches-sequences-release",
         "preprocessing": {"resize": 480, "side": "long", "square_pad": True},
         "subset": None,  # 'i' | 'v' | None
+        "max_seqs": None,  # cap sequence count (cheap in-train benchmarks)
         "ignore_large_images": True,
         "grayscale": False,
         "test_batch_size": 1,
@@ -51,6 +52,8 @@ class HPatchesDataset(BaseDataset):
             sequences = [s for s in sequences if s not in IGNORED_SCENES]
         if conf.subset:
             sequences = [s for s in sequences if s.startswith(conf.subset)]
+        if conf.max_seqs:
+            sequences = sequences[: int(conf.max_seqs)]
         self.sequences = sequences
         self.items = [(seq, i) for seq in sequences for i in range(2, 7)]
         self.preprocessor = ImagePreprocessor(conf.preprocessing.to_dict())

@@ -61,6 +61,8 @@ default_train_conf = {
     "load_experiment": None,
     "clip_grad": 1.0,
     "best_key": "loss/total",
+    # 'min' (losses) or 'max' (benchmark metrics like bench/<name>/<k>_mAA)
+    "best_mode": "min",
     "dataset_callback_fn": None,
     "dataset_callback_on_val": False,
     "overfit": False,
@@ -649,7 +651,15 @@ def training(conf: Config, output_dir: Path, args=None):
                 cap = conf.train.num_steps_per_epoch
                 if cap is not None and steps_in_epoch >= int(cap):
                     break
-            # end-of-epoch benchmarks on the live params (rank 0)
+            # end-of-epoch benchmarks on the live params (rank 0). Their
+            # summaries feed checkpoint selection: with e.g.
+            # train.best_key=bench/hpatches/H_error_ransac_mAA and
+            # train.best_mode=max, checkpoint_best tracks REAL eval quality
+            # instead of engine-val loss (which round-3 showed is
+            # anti-correlated for matcher retrains). Bench-driven best_key
+            # is single-host: rank>0 sees no bench metrics and never updates
+            # its local best_eval, which only matters for logging.
+            bench_results = {}
             if conf.train.run_benchmarks and jax.process_index() == 0:
                 from .eval import run_benchmark
 
@@ -661,10 +671,10 @@ def training(conf: Config, output_dir: Path, args=None):
                             bname, bconf, output_dir / "benchmarks" / bname / f"e{epoch}",
                             model=model, params=params,
                         )
-                        writer.write(
+                        bench_results.update(
                             {f"bench/{bname}/{k}": v for k, v in s.items()
-                             if isinstance(v, (int, float))}, iteration,
-                        )
+                             if isinstance(v, (int, float))})
+                        writer.write(bench_results, iteration)
                     except FileNotFoundError as e:  # benchmark data absent
                         logger.warning("benchmark %s skipped (no data): %s",
                                        bname, e)
@@ -675,6 +685,7 @@ def training(conf: Config, output_dir: Path, args=None):
                 model, params, val_loader, eval_forward, pool=val_pool,
                 writer=writer, step=iteration,
             )
+            eval_results.update(bench_results)
             best_eval = save_experiment(
                 output_dir,
                 {"params": jax.tree.map(np.asarray, params),

@@ -128,9 +128,19 @@ def save_experiment(
     import jax
 
     best_key = conf.get("train.best_key", "loss/total") or "loss/total"
+    # 'max' flips the comparison for higher-is-better selection keys (e.g.
+    # an in-train benchmark mAA: train.best_key=bench/hpatches/..._mAA,
+    # train.best_mode=max — the round-3 verdict ask #4: engine-val metrics
+    # were anti-correlated with eval quality two retrains in a row)
+    mode = conf.get("train.best_mode", "min") or "min"
     cur = (eval_results or {}).get(best_key)
+
+    def improved(c, b):
+        return c is not None and (
+            b is None or (c > b if mode == "max" else c < b))
+
     if jax.process_count() > 1 and jax.process_index() != 0:
-        if cur is not None and (best_eval is None or cur < best_eval):
+        if improved(cur, best_eval):
             best_eval = float(cur)
         return best_eval
     output_dir = Path(output_dir)
@@ -149,7 +159,7 @@ def save_experiment(
     path = output_dir / cp_name
     path.write_bytes(flax.serialization.msgpack_serialize(blob))
     (output_dir / "config.yaml").write_text(yaml.safe_dump(conf.to_dict(), sort_keys=False))
-    if cur is not None and (best_eval is None or cur < best_eval):
+    if improved(cur, best_eval):
         best_eval = float(cur)
         shutil.copy(path, output_dir / "checkpoint_best.ckpt")
         logger.info("New best checkpoint: %s=%.5f", best_key, best_eval)
