@@ -106,6 +106,12 @@ def run_quality(model, params, pairs):
         kp1 = np.asarray(pred["keypoints1"][0])
         m0 = np.asarray(pred["matches0"][0])
         valid = m0 > -1
+        # honor padding masks when the extractor emits them: padded slots
+        # must not participate in matching stats (advisor round-3 finding)
+        if "keypoint_valid0" in pred:
+            kv0 = np.asarray(pred["keypoint_valid0"][0])
+            kv1 = np.asarray(pred["keypoint_valid1"][0])
+            valid = valid & kv0 & kv1[np.clip(m0, 0, None)]
         mk0 = kp0[valid]
         mk1 = kp1[m0[valid]]
         stats["matches"].append(int(valid.sum()))
@@ -550,6 +556,51 @@ def test_trained_jpldd_quality(tmp_path):
         locs.append(float(np.median(d[d < 3.0])) if (d < 3.0).any() else 99.0)
     assert np.median(reps) > 0.55, reps
     assert np.median(locs) < 2.0, locs
+
+
+def test_trained_jpldd_structured_line_quality(tmp_path):
+    """JPLDD structured phase-A gate (blob jpldd_tpu_structured): JOINT
+    point+line extraction with the collinear-NMS POLD2 readout on fresh
+    family-A renders — covers the line path end-to-end (advisor round-3:
+    the phase-B gate ran points only, lines were ungated). Benchmark row
+    (outputs/results/hpatches_extended/jpldd_structured_phaseA): kp rep
+    0.907 / loc 0.94 px, line rep 0.740 / loc 0.83 px (round-3 line path:
+    0.243 before the NMS fix)."""
+    from gluefactory_tpu.eval.metrics import line_repeatability
+
+    blob = WEIGHTS_PATH / "jpldd_tpu_structured.f16.msgpack"
+    if not blob.exists():
+        pytest.skip("no committed JPLDD structured weights")
+    pairs = render_pairs(tmp_path, n_seqs=2)
+    model = build_model("extractors.joint_point_line_extractor", {
+        "max_num_keypoints": 512, "detection_threshold": 0.005,
+        "extract_lines": True,
+    })
+    data0 = {"image": jnp.zeros((1, 360, 480, 3)),
+             "image_size": jnp.asarray([[480.0, 360.0]])}
+    params = model.init(jax.random.key(0), data0)
+    flat, _, _ = load_weight_blob(blob)
+    params = restore_from_flat_dict(params, flat)
+    apply_fn = jax.jit(model.apply)
+    reps, counts = [], []
+    for img0, img1, H in pairs:
+        out = []
+        for img in (img0, img1):
+            pred = apply_fn(params, {
+                "image": jnp.asarray(img)[None],
+                "image_size": jnp.asarray(
+                    [[img.shape[1], img.shape[0]]], jnp.float32),
+            })
+            out.append((pred["lines"], pred["valid_lines"]))
+        rep, _loc = line_repeatability(
+            out[0][0], out[1][0], out[0][1], out[1][1],
+            jnp.asarray(H)[None],
+            jnp.asarray([[img1.shape[1], img1.shape[0]]], jnp.float32),
+            th=5.0)
+        reps.append(float(rep[0]))
+        counts.append(int(np.asarray(out[0][1]).sum()))
+    assert np.median(counts) >= 10, counts
+    assert np.median(reps) > 0.5, reps
 
 
 def test_trained_sold2_quality(tmp_path):
