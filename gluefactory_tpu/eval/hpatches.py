@@ -84,6 +84,10 @@ class HPatchesPipeline(EvalPipeline):
         export_predictions(
             tqdm(loader, desc="hpatches export"), apply_fn, pred_file,
             keys=self.export_keys,
+            # subclasses (extended benchmarks) add line exports here; absent
+            # keys are skipped, so the base benchmark is unaffected
+            optional_keys=("keypoint_valid0", "keypoint_valid1",
+                           *self.optional_export_keys),
         )
         return pred_file
 

@@ -202,3 +202,30 @@ def test_gluestick_checkpointed_inter_supervision():
     )
     gn = float(jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(g))))
     assert np.isfinite(gn) and gn > 0
+
+
+def test_homographies_deeplsd_dataset_and_training_step():
+    """homographies_deeplsd serves warped pairs with EXACT LSD-derived DF/AF
+    targets (reference datasets/homographies_deeplsd.py warps precomputed
+    DeepLSD fields; here targets are recomputed per view — no teacher) and
+    DeepLSD's loss consumes them."""
+    from gluefactory_tpu.datasets import get_dataset
+
+    ds = get_dataset("homographies_deeplsd")({
+        "train_size": 4, "val_size": 2, "image_size": 128,
+        "train_batch_size": 2, "num_workers": 0})
+    batch = next(iter(ds.get_data_loader("train")))
+    df = np.asarray(batch["view0"]["gt_distance_field"])
+    af = np.asarray(batch["view0"]["gt_angle_field"])
+    assert df.shape == (2, 128, 128) and (df >= 0).all()
+    assert df.min() == 0.0  # zero exactly on drawn LSD segments
+    assert (af >= 0).all() and (af <= np.pi + 1e-6).all()
+    # DeepLSD trains on one view's targets
+    model = build_model("lines.deeplsd", {"trainable": True})
+    data = {"image": jnp.asarray(batch["view0"]["image"]),
+            "gt_distance_field": jnp.asarray(df),
+            "gt_angle_field": jnp.asarray(af)}
+    params = model.init(jax.random.key(0), data)
+    pred = model.apply(params, data)
+    losses, _ = model.apply(params, pred, data, method=model.loss)
+    assert np.isfinite(float(np.asarray(losses["total"]).mean()))
