@@ -139,6 +139,9 @@ def test_bundle_adjustment_sharded_matches_single(devices):
 
 
 def test_pose_graph_closes_loop():
+    # local rng: the module-level one makes this test's noise draw depend on
+    # how many draws earlier tests consumed (order-dependent flake)
+    rng = np.random.default_rng(23)
     M = 12
     # GT: poses on a circle (world->cam)
     Rs, ts = [], []
