@@ -55,6 +55,11 @@ class JPLDD(BaseModel):
         "use_angle_field": True,
         "extract_lines": False,  # run POLD2 extraction in forward (eval)
         "line_extractor": {"name": "lines.pold2_extractor"},
+        # with extract_lines: also emit line_desc_samples (B, L, S, D) — the
+        # SDDH descriptor head evaluated at S points along each extracted
+        # line, consumed directly by matchers.wunsch_line_matcher (the
+        # phase-B-trained keypoint descriptors double as line descriptors)
+        "line_desc_samples": 0,
         "timeit": False,
         "loss": {
             "heatmap": "weighted_bce",  # weighted_bce | focal
@@ -203,6 +208,15 @@ class JPLDD(BaseModel):
                 }
             )
             pred.update(line_pred)
+            s = int(conf.line_desc_samples)
+            if s > 0:
+                lines = pred["lines"]  # (B, L, 2, 2)
+                b, nl = lines.shape[:2]
+                t = jnp.linspace(0.0, 1.0, s)[None, None, :, None]
+                pts = lines[:, :, None, 0] + (
+                    lines[:, :, 1] - lines[:, :, 0])[:, :, None] * t
+                d = self.desc_head(features, pts.reshape(b, nl * s, 2))
+                pred["line_desc_samples"] = d.reshape(b, nl, s, -1)
         return pred
 
     def loss(self, pred: dict, data: dict):

@@ -56,9 +56,9 @@ class WunschLineMatcher(BaseModel):
         "min_score": 0.2,
         "cross_check": True,
     }
-    required_data_keys: ClassVar[list] = [
-        "lines0", "lines1", "descriptors_dense0", "descriptors_dense1",
-    ]
+    # descriptors come from EITHER descriptors_dense{0,1} (sampled here) or
+    # precomputed line_desc_samples{0,1}; enforced in _forward
+    required_data_keys: ClassVar[list] = ["lines0", "lines1"]
 
     def _sample(self, desc_map, lines):
         b, l = lines.shape[:2]
@@ -78,12 +78,23 @@ class WunschLineMatcher(BaseModel):
         l1 = lines1.shape[1]
         v0 = data.get("valid_lines0", jnp.ones((b, l0), bool))
         v1 = data.get("valid_lines1", jnp.ones((b, l1), bool))
-        d0 = self._sample(data["descriptors_dense0"], lines0)
-        d1 = self._sample(data["descriptors_dense1"], lines1)
+        if "line_desc_samples0" in data:
+            # precomputed per-line descriptor samples (B, L, S, D) — e.g.
+            # JPLDD's SDDH head evaluated along each extracted line; lets
+            # learned keypoint descriptors drive line matching without a
+            # dense descriptor map
+            d0, d1 = data["line_desc_samples0"], data["line_desc_samples1"]
+            d0 = d0 / jnp.maximum(
+                jnp.linalg.norm(d0, axis=-1, keepdims=True), 1e-8)
+            d1 = d1 / jnp.maximum(
+                jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-8)
+        else:
+            d0 = self._sample(data["descriptors_dense0"], lines0)
+            d1 = self._sample(data["descriptors_dense1"], lines1)
 
         sim = jnp.einsum("bind,bjmd->bijnm", d0, d1)
         gap = float(self.conf.gap_score)
-        n = int(self.conf.num_samples)
+        n = d0.shape[-2]  # sample count (may come from line_desc_samples)
         fwd = nw_scores(sim, gap)
         rev = nw_scores(sim[..., ::-1], gap)
         scores = jnp.maximum(fwd, rev) / n  # normalized to [-1, 1]-ish

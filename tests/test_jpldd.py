@@ -222,3 +222,33 @@ def test_jpldd_two_view_desc_nll_trains_only_desc_head():
             assert not frozen, f"desc_head param {k} would be frozen"
         else:
             assert frozen, f"trunk param {k} would stay trainable"
+
+
+def test_jpldd_line_desc_samples_wunsch_self_matching():
+    """line_desc_samples: the SDDH head evaluated along each extracted line
+    feeds matchers.wunsch_line_matcher directly. Identical views must match
+    their own lines (identity assignment) even with untrained weights —
+    identical sample descriptors give the NW alignment its maximum."""
+    from gluefactory_tpu.models import build_model as build
+
+    model = build("two_view_pipeline", {
+        "extractor": {"name": "extractors.joint_point_line_extractor",
+                      "max_num_keypoints": 96, "extract_lines": True,
+                      "line_desc_samples": 4,
+                      "line_extractor": {"max_num_lines": 32}},
+        "matcher": {"name": "matchers.wunsch_line_matcher",
+                    "min_score": 0.0},
+    })
+    ds = get_dataset("synthetic_shapes")({"image_size": 96, "train_size": 2,
+                                          "num_workers": 0})
+    item = ds.get_dataset("train").getitem(0, rng)
+    img = jnp.asarray(item["image"])[None]
+    data = {"view0": {"image": img}, "view1": {"image": img}}
+    params = model.init(jax.random.key(0), data)
+    pred = model.apply(params, data)
+    assert pred["line_desc_samples0"].shape[2] == 4
+    m0 = np.asarray(pred["line_matches0"][0])
+    v0 = np.asarray(pred["valid_lines0"][0])
+    if v0.sum() >= 2:
+        idx = np.where(v0)[0]
+        assert (m0[idx] == idx).mean() > 0.8, (m0[idx], idx)
