@@ -72,6 +72,7 @@ default_train_conf = {
     # in-training benchmarks (reference train.py:375-392): list of
     # {name: hpatches|megadepth1500|..., conf: {...}} run at each epoch end
     "run_benchmarks": [],
+    "benchmark_every_epoch": 1,  # cadence of the end-of-epoch bench hook
 }
 
 default_conf = {
@@ -660,7 +661,9 @@ def training(conf: Config, output_dir: Path, args=None):
             # is single-host: rank>0 sees no bench metrics and never updates
             # its local best_eval, which only matters for logging.
             bench_results = {}
-            if conf.train.run_benchmarks and jax.process_index() == 0:
+            bench_due = (epoch + 1) % max(
+                int(conf.train.benchmark_every_epoch), 1) == 0
+            if conf.train.run_benchmarks and bench_due and jax.process_index() == 0:
                 from .eval import run_benchmark
 
                 for bench in list(conf.train.run_benchmarks):
