@@ -140,9 +140,13 @@ def run_variant(variant: str, batch: int) -> dict:
         return _run_train_step(variant.removeprefix("train_"), batch)
 
     conf = _flagship_conf(tiny=False)
-    if variant == "bf16":
+    if variant.startswith("bf16"):
         conf["extractor"]["dtype"] = "bf16"
         conf["matcher"]["dtype"] = "bf16"
+    if variant.endswith("_refined"):
+        # the full production eval pipeline: extract + match + CoM readout +
+        # ZNCC sub-pixel refinement stage (the quality-flagship path)
+        conf["filter"] = {"name": "matchers.match_refiner"}
     if variant == "pallas":
         os.environ["GFTPU_FORCE_PALLAS"] = "1"
     model = build_model("two_view_pipeline", conf)
@@ -460,6 +464,7 @@ def main():
         ("bf16", "bf16:8"),
         ("train_bf16", "train_bf16:8"),
         ("matcher_only", "matcher_only:8"),
+        ("bf16_refined", "bf16_refined:8"),
         ("bf16_b32", "bf16:32"),
         ("matcher_only_b128", "matcher_only:128"),
     ]
