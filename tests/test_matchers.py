@@ -231,3 +231,42 @@ def test_lightglue_torch_weight_converter():
     np.testing.assert_allclose(ours[:, :, 0], q_t, atol=1e-5)
     np.testing.assert_allclose(ours[:, :, 1], k_t, atol=1e-5)
     np.testing.assert_allclose(ours[:, :, 2], v_t, atol=1e-5)
+
+
+def test_adalam_filters_outliers_keeps_inliers():
+    """AdaLAM filter-slot model (reference matchers/adalam.py is an EMPTY
+    stub; this is a real batched implementation): putative NN matches with
+    30% gross outliers under a global affine -> precision goes to ~1.0 at
+    >=0.6 inlier recall, and matches1 stays consistent with matches0."""
+    from gluefactory_tpu.models import build_model as build
+
+    rng = np.random.default_rng(3)
+    B, N = 2, 256
+    kp0 = rng.uniform(0, 480, (B, N, 2)).astype(np.float32)
+    A = np.array([[0.9, 0.1, 20], [-0.05, 1.05, -10]], np.float32)
+    tgt = kp0 @ A[:, :2].T + A[:, 2] + rng.normal(0, 1.0, (B, N, 2))
+    out_mask = rng.uniform(size=(B, N)) < 0.3
+    tgt[out_mask] = rng.uniform(0, 480, (int(out_mask.sum()), 2))
+    m0 = np.tile(np.arange(N), (B, 1))
+    scores = rng.uniform(0.3, 1.0, (B, N)).astype(np.float32)
+    model = build("matchers.adalam", {})
+    data = {
+        "keypoints0": jnp.asarray(kp0),
+        "keypoints1": jnp.asarray(tgt.astype(np.float32)),
+        "matches0": jnp.asarray(m0, jnp.int32),
+        "matches1": jnp.asarray(m0, jnp.int32),
+        "matching_scores0": jnp.asarray(scores),
+        "matching_scores1": jnp.asarray(scores),
+        "view0": {"image_size": jnp.full((B, 2), 480.0)},
+    }
+    params = model.init(jax.random.key(0), data)
+    pred = jax.jit(model.apply)(params, data)
+    keep = np.asarray(pred["matches0"]) > -1
+    inl = ~out_mask
+    assert (keep & inl).sum() / max(keep.sum(), 1) > 0.95
+    assert (keep & inl).sum() / inl.sum() > 0.55
+    m0_new = np.asarray(pred["matches0"])
+    m1_new = np.asarray(pred["matches1"])
+    for b in range(B):
+        j = np.where(m1_new[b] > -1)[0]
+        assert (m0_new[b, m1_new[b, j]] == j).all()
