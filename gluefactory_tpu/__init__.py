@@ -35,7 +35,10 @@ if _cache_dir not in ("", "0") and not os.environ.get("JAX_COMPILATION_CACHE_DIR
     try:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        from .utils.misc import cpu_cache_tag
+
+        jax.config.update(
+            "jax_compilation_cache_dir", f"{_cache_dir}-{cpu_cache_tag()}")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:  # cache is an optimization, never a hard dependency
         pass

@@ -42,3 +42,22 @@ def sync_and_time() -> float:
     (≙ cuda-synced timer, reference utils/misc.py:52-57)."""
     (jax.device_put(0.0) + 0).block_until_ready()
     return time.perf_counter()
+
+
+def cpu_cache_tag() -> str:
+    """Short fingerprint of the host CPU's feature flags. XLA:CPU AOT cache
+    entries compiled with vector extensions the current host lacks load with
+    SIGILL risk — keying the persistent-cache directory on the flags keeps
+    each host population separate."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:8]

@@ -18,7 +18,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: geometry eigh/svd and the model graphs are
 # slow to compile on CPU; cache them across test runs.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+from gluefactory_tpu.utils.misc import cpu_cache_tag  # noqa: E402
+
+# per-CPU-feature cache dir: CPU AOT entries from a host with different
+# vector extensions load with SIGILL-risk warnings (observed 2026-08-20)
+jax.config.update("jax_compilation_cache_dir",
+                  f"/root/.cache/jax_test_cache-{cpu_cache_tag()}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import pytest  # noqa: E402
