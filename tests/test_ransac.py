@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gluefactory_tpu.geometry.epipolar import relative_pose_error
 from gluefactory_tpu.geometry.essential import (
@@ -15,6 +16,16 @@ from gluefactory_tpu.geometry.wrappers import Camera, Pose
 from gluefactory_tpu.robust_estimators import load_estimator
 
 rng = np.random.default_rng(7)
+
+
+@pytest.fixture(autouse=True)
+def _fresh_rng():
+    # reset the module rng per test: under pytest-xdist, tests of
+    # this module run in arbitrary subsets/orders across workers,
+    # so draw positions must not depend on which tests ran before
+    global rng
+    rng = np.random.default_rng(7)
+
 
 
 def make_pose(scale_rot=0.3):
