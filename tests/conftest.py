@@ -34,3 +34,26 @@ assert jax.default_backend() == "cpu", jax.default_backend()
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()
+
+
+_MODULE_RNG_STATES: dict = {}
+
+
+@pytest.fixture(autouse=True)
+def _reset_module_rng(request):
+    """Restore each test module's shared ``rng`` to its fresh-import state
+    before every test. Under pytest-xdist, a module's tests run in arbitrary
+    subsets/orders across workers, so any test whose draws depend on how many
+    draws earlier tests consumed becomes order-dependent (observed:
+    test_pose_graph_closes_loop, test_bundle_adjustment_sharded)."""
+    import copy
+
+    import numpy as _np
+
+    mod = request.module
+    g = getattr(mod, "rng", None)
+    if isinstance(g, _np.random.Generator):
+        st = _MODULE_RNG_STATES.setdefault(
+            mod.__name__, copy.deepcopy(g.bit_generator.state))
+        g.bit_generator.state = copy.deepcopy(st)
+    yield
