@@ -664,6 +664,74 @@ def test_trained_sold2_quality(tmp_path):
     assert np.median(recs) > 0.3, recs
 
 
+def test_trained_jpldd_line_matching_quality(tmp_path):
+    """JPLDD line MATCHING gate (advisor round-3 ask: the line-descriptor
+    path had repeatability coverage only): structured phase-A trunk with
+    SDDH samples emitted along extracted lines (line_desc_samples) feeding
+    the Wunsch NW matcher, on fresh family-A renders. Benchmark row
+    (outputs/results/hpatches_lines/jpldd_structured_wunsch): line match
+    precision 0.78 / recall 0.65 at th=5 px — tops LSD+LBD (0.58/0.33) and
+    SOLD2+Wunsch (0.63/0.52)."""
+    from gluefactory_tpu.geometry.homography import warp_points_np
+
+    blob = WEIGHTS_PATH / "jpldd_tpu_structured.f16.msgpack"
+    if not blob.exists():
+        pytest.skip("no committed JPLDD structured weights")
+    pairs = render_pairs(tmp_path, n_seqs=2)
+    model = build_model("two_view_pipeline", {
+        "extractor": {
+            "name": "extractors.joint_point_line_extractor",
+            "max_num_keypoints": 512,
+            "max_num_lines": 128,
+            "detection_threshold": 0.005,
+            "extract_lines": True,
+            "line_desc_samples": 8,
+        },
+        "matcher": {"name": "matchers.wunsch_line_matcher",
+                    "min_score": 0.1},
+    })
+    data0 = {
+        "view0": {"image": jnp.zeros((1, 360, 480, 3)),
+                  "image_size": jnp.asarray([[480.0, 360.0]])},
+        "view1": {"image": jnp.zeros((1, 360, 480, 3)),
+                  "image_size": jnp.asarray([[480.0, 360.0]])},
+    }
+    params = model.init(jax.random.key(0), data0)
+    flat, _, _ = load_weight_blob(blob)
+    params = restore_from_flat_dict(params, flat)
+    apply_fn = jax.jit(model.apply)
+    precs, recs = [], []
+    for img0, img1, H in pairs:
+        data = {
+            "view0": {"image": jnp.asarray(img0)[None],
+                      "image_size": jnp.asarray(
+                          [[img0.shape[1], img0.shape[0]]], jnp.float32)},
+            "view1": {"image": jnp.asarray(img1)[None],
+                      "image_size": jnp.asarray(
+                          [[img1.shape[1], img1.shape[0]]], jnp.float32)},
+        }
+        pred = apply_fn(params, data)
+        l0 = np.asarray(pred["lines0"][0])
+        l1 = np.asarray(pred["lines1"][0])
+        v0 = np.asarray(pred["valid_lines0"][0])
+        lm0 = np.asarray(pred["line_matches0"][0])
+        sel = (lm0 > -1) & v0
+        if sel.sum() == 0:
+            precs.append(0.0)
+            recs.append(0.0)
+            continue
+        e0 = warp_points_np(l0[sel].reshape(-1, 2), H).reshape(-1, 2, 2)
+        e1 = l1[np.clip(lm0[sel], 0, None)]
+        d_fwd = np.linalg.norm(e0 - e1, axis=-1).mean(-1)
+        d_rev = np.linalg.norm(e0 - e1[:, ::-1], axis=-1).mean(-1)
+        d = np.minimum(d_fwd, d_rev)
+        correct = (d < 5.0).sum()
+        precs.append(float(correct / sel.sum()))
+        recs.append(float(correct / max(v0.sum(), 1)))
+    assert np.median(precs) > 0.5, precs
+    assert np.median(recs) > 0.3, recs
+
+
 def test_trained_jpldd_desc_quality(tmp_path):
     """JPLDD phase-B gate (two-view descriptor stage fine-tuned from the
     phase-A shapes checkpoint, committed blob jpldd_tpu_stage1_desc):
