@@ -669,10 +669,23 @@ def training(conf: Config, output_dir: Path, args=None):
                 for bench in list(conf.train.run_benchmarks):
                     bname = bench["name"] if isinstance(bench, dict) else bench.name
                     bconf = bench.get("conf", {}) if hasattr(bench, "get") else {}
+                    # optional per-bench model-conf overlay: rebuild the
+                    # pipeline at the EVAL operating point (e.g. 1024 kp,
+                    # no GT in forward) with the live params. The round-4
+                    # stage-5 run showed the raw training conf (512 kp,
+                    # pinned ransac_th) compresses the selection metric to
+                    # near-noise; params are conf-independent so the same
+                    # tree drops into the eval-shaped model.
+                    bmodel = model
+                    overlay = (bench.get("model") if hasattr(bench, "get")
+                               else None)
+                    if overlay:
+                        mconf = Config(conf.model).merge(overlay)
+                        bmodel = build_model(mconf.name, mconf)
                     try:
                         s, _ = run_benchmark(
                             bname, bconf, output_dir / "benchmarks" / bname / f"e{epoch}",
-                            model=model, params=params,
+                            model=bmodel, params=params,
                         )
                         bench_results.update(
                             {f"bench/{bname}/{k}": v for k, v in s.items()

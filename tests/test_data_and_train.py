@@ -123,6 +123,78 @@ def test_training_smoke(tmp_path):
 
 
 @pytest.mark.slow
+def test_training_benchmark_hook_with_model_overlay(tmp_path):
+    """run_benchmarks hook end-to-end: per-epoch hpatches benchmark on the
+    live params, with a per-bench MODEL overlay rebuilding the pipeline at
+    an eval operating point (more keypoints, no GT in forward) — the
+    round-4 stage-5 lesson: scoring checkpoints at the raw training conf
+    (few kp, pinned ransac_th) compresses the selection metric to noise.
+    Asserts bench metrics land in metrics.jsonl and checkpoint_best tracks
+    the bench best_key."""
+    import json
+
+    import cv2
+
+    from gluefactory_tpu.train import default_conf, training
+
+    seq = tmp_path / "hp" / "v_tiny"
+    seq.mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    img = (rng.uniform(0, 255, (96, 128)) // 64 * 80).astype(np.uint8)
+    img = cv2.GaussianBlur(img, (5, 5), 1.0)
+    img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)  # .ppm needs 3 channels
+    for i in range(1, 7):
+        cv2.imwrite(str(seq / f"{i}.ppm"), img)
+        if i > 1:
+            np.savetxt(seq / f"H_1_{i}", np.eye(3))
+    conf = Config(default_conf).merge(
+        {
+            "data": TINY_DATA,
+            "model": TINY_MODEL,
+            "train": {
+                "seed": 0,
+                "epochs": 1,
+                "lr": 1e-4,
+                "log_every_iter": 2,
+                "eval_every_iter": 4,
+                "num_steps_per_epoch": 2,
+                "best_key": "bench/hpatches/H_error_ransac_mAA",
+                "best_mode": "max",
+                "run_benchmarks": [
+                    {
+                        "name": "hpatches",
+                        "conf": {
+                            "data": {
+                                "data_dir": str(tmp_path / "hp"),
+                                "preprocessing": {"resize": 96},
+                                "num_workers": 0,
+                            },
+                            "eval": {"num_hypotheses": 64},
+                        },
+                        "model": {
+                            "extractor": {"max_num_keypoints": 64},
+                            "ground_truth": {"name": None},
+                            "run_gt_in_forward": False,
+                        },
+                    }
+                ],
+            },
+        }
+    )
+    conf.freeze()
+    training(conf, tmp_path / "exp")
+    lines = [json.loads(l) for l in
+             (tmp_path / "exp" / "metrics.jsonl").read_text().splitlines()]
+    bench = [d for d in lines if "bench/hpatches/H_error_ransac_mAA" in d]
+    assert bench, "bench metrics never logged"
+    assert np.isfinite(bench[-1]["bench/hpatches/H_error_ransac_mAA"])
+    # identity-H pairs on the same image: even a tiny random matcher's
+    # mutual NN survivors estimate H=I, so mAA should be far from zero
+    assert bench[-1]["bench/hpatches/H_error_ransac_mAA"] > 10.0
+    assert (tmp_path / "exp" / "checkpoint_best.ckpt").exists()
+
+
+@pytest.mark.slow
 def test_finetune_from_experiment(tmp_path, monkeypatch):
     """train -> checkpoint -> fine-tune via train.load_experiment end-to-end
     (the restore path that wedged on the TPU tunnel must be sound on CPU)."""
