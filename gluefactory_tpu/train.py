@@ -562,6 +562,46 @@ def training(conf: Config, output_dir: Path, args=None):
         logger.info("Restored at epoch %d iter %d", epoch0, iteration)
 
     plateau = PlateauController(conf.train.lr_schedule)
+    if (conf.train.lr_schedule.get("type") == "plateau"
+            and str(conf.train.best_key).startswith("bench/")):
+        # bench/* metrics only exist at epoch end; the per-iteration val eval
+        # never contains them so the plateau controller would see NaN forever
+        # (and it assumes lower-is-better, conflicting with best_mode=max).
+        logger.warning(
+            "lr_schedule.type=plateau with a bench best_key (%s): plateau LR "
+            "scheduling watches per-iteration val metrics and will be a no-op "
+            "for bench/* keys — use a factor/exp schedule instead.",
+            conf.train.best_key,
+        )
+    # Per-bench model overlays are static: build them ONCE (a fresh Module
+    # per epoch defeats XLA's in-process jit cache — multi-minute recompiles
+    # through the remote-compile tunnel) and fail fast on overlays that
+    # change the param tree (e.g. n_layers) BEFORE paid training time.
+    bench_models: dict[str, object] = {}
+    if conf.train.run_benchmarks and jax.process_index() == 0:
+        for bench in list(conf.train.run_benchmarks):
+            bname = bench["name"] if isinstance(bench, dict) else bench.name
+            overlay = bench.get("model") if hasattr(bench, "get") else None
+            if not overlay:
+                bench_models[bname] = model
+                continue
+            mconf = Config(conf.model).merge(overlay)
+            bmodel = build_model(mconf.name, mconf)
+            overlay_shapes = jax.eval_shape(
+                lambda m=bmodel: m.init(jax.random.key(0), init_batch)
+            )
+            live_flat = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+            for path, leaf in jax.tree_util.tree_flatten_with_path(overlay_shapes)[0]:
+                live = live_flat.get(path)
+                if live is None or tuple(live.shape) != tuple(leaf.shape):
+                    raise ValueError(
+                        f"run_benchmarks[{bname}].model overlay changes the "
+                        f"param tree at {jax.tree_util.keystr(path)}: live "
+                        f"{None if live is None else live.shape} vs overlay "
+                        f"{leaf.shape}. Overlays must keep params compatible "
+                        "(kp counts, thresholds, gt off — not layer shapes)."
+                    )
+            bench_models[bname] = bmodel
     train_step, shard_batch, repl_sharding = make_train_step(
         model, tx, mesh, make_batch=dataset.make_batch if engine else None
     )
@@ -669,19 +709,14 @@ def training(conf: Config, output_dir: Path, args=None):
                 for bench in list(conf.train.run_benchmarks):
                     bname = bench["name"] if isinstance(bench, dict) else bench.name
                     bconf = bench.get("conf", {}) if hasattr(bench, "get") else {}
-                    # optional per-bench model-conf overlay: rebuild the
-                    # pipeline at the EVAL operating point (e.g. 1024 kp,
-                    # no GT in forward) with the live params. The round-4
-                    # stage-5 run showed the raw training conf (512 kp,
-                    # pinned ransac_th) compresses the selection metric to
-                    # near-noise; params are conf-independent so the same
-                    # tree drops into the eval-shaped model.
-                    bmodel = model
-                    overlay = (bench.get("model") if hasattr(bench, "get")
-                               else None)
-                    if overlay:
-                        mconf = Config(conf.model).merge(overlay)
-                        bmodel = build_model(mconf.name, mconf)
+                    # per-bench model-conf overlay: run the benchmark at the
+                    # EVAL operating point (e.g. 1024 kp, no GT in forward)
+                    # with the live params. The round-4 stage-5 run showed
+                    # the raw training conf (512 kp, pinned ransac_th)
+                    # compresses the selection metric to near-noise; params
+                    # are conf-independent so the same tree drops into the
+                    # eval-shaped model (prebuilt once, validated above).
+                    bmodel = bench_models.get(bname, model)
                     try:
                         s, _ = run_benchmark(
                             bname, bconf, output_dir / "benchmarks" / bname / f"e{epoch}",
