@@ -36,6 +36,7 @@ from __future__ import annotations
 from typing import ClassVar
 
 import jax.numpy as jnp
+import numpy as np
 
 from ...geometry.homography import compute_homography, warp_points
 from ...ops.interpolate import bilinear_sample
@@ -125,6 +126,17 @@ class MatchRefiner(BaseModel):
         "zncc_min": 0.4,        # keep the original position below this
         "min_texture": 0.01,    # min template std (images in [0, 1])
         "affine_compensation": True,
+        # TPU fast path: gather ONE dense integer-grid window per match from
+        # HBM (W^2 fetches) and do all D*P candidate interpolations inside
+        # that small local tensor — ~30x fewer HBM gathers than direct
+        # bilinear taps at the default sizes (the r4 bench measured the
+        # direct path at 3.1 pairs/s, gather-bound: the whole refiner is
+        # only ~0.6 GFLOP/pair). False = legacy direct sampling (A/B
+        # reference; bit-identical away from image borders / extreme warps).
+        "window_sampling": True,
+        # affine patch stretch clamp: bounds the window radius; warps with
+        # per-axis |A| beyond this are clamped to the window edge
+        "max_patch_stretch": 1.5,
         "trainable": False,
     }
     required_data_keys: ClassVar[list] = ["view0", "view1"]
@@ -171,6 +183,16 @@ class MatchRefiner(BaseModel):
         tpl_n = (tpl - t_mean) / (t_std[..., None] + 1e-6)
         textured = t_std > float(conf.min_texture)
 
+        amax = float(conf.max_patch_stretch)
+        use_window = bool(conf.get("window_sampling", True))
+        if use_window:
+            # window radius: covers search + clamped warped patch + bilinear
+            rad = int(np.ceil(s * step + r * amax)) + 1
+            wside = 2 * rad + 1
+            wgrid = jnp.arange(-rad, rad + 1, dtype=jnp.int32)
+            img_h, img_w = img1.shape[1:3]
+            flat1 = img1.reshape(b, img_h * img_w)
+
         for _ in range(int(conf.rounds)):
             # shape-only linearization of the current two-view geometry
             if conf.affine_compensation:
@@ -183,14 +205,51 @@ class MatchRefiner(BaseModel):
                 warped_patch = jnp.broadcast_to(
                     patch[None, None], (b, n, p, 2)
                 )
-            c_pts = (
-                p1[:, :, None, None, :]
-                + disp[None, None, :, None, :]
-                + warped_patch[:, :, None, :, :]
-            )  # (B, N, D, P, 2)
-            cand = bilinear_sample(
-                img1, c_pts.reshape(b, n * d * p, 2)
-            ).reshape(b, n, d, p)
+            if use_window:
+                warped_patch = jnp.clip(warped_patch, -r * amax, r * amax)
+                base = jnp.floor(p1).astype(jnp.int32)  # (B, N, 2)
+                frac = p1 - base.astype(jnp.float32)
+                # ONE dense integer window per match: (B, N, wside, wside)
+                wy = jnp.clip(base[..., 1:2] + wgrid, 0, img_h - 1)
+                wx = jnp.clip(base[..., 0:1] + wgrid, 0, img_w - 1)
+                widx = (wy[:, :, :, None] * img_w + wx[:, :, None, :])
+                win = jnp.take_along_axis(
+                    flat1, widx.reshape(b, n * wside * wside), axis=1
+                ).reshape(b, n, wside * wside)
+                # candidate positions RELATIVE to the window origin
+                q = (
+                    frac[:, :, None, None, :]
+                    + disp[None, None, :, None, :]
+                    + warped_patch[:, :, None, :, :]
+                    + float(rad)
+                )  # (B, N, D, P, 2)
+                qx = jnp.clip(q[..., 0], 0.0, wside - 1.0)
+                qy = jnp.clip(q[..., 1], 0.0, wside - 1.0)
+                x0 = jnp.clip(jnp.floor(qx).astype(jnp.int32), 0, wside - 2)
+                y0 = jnp.clip(jnp.floor(qy).astype(jnp.int32), 0, wside - 2)
+                fx = qx - x0.astype(jnp.float32)
+                fy = qy - y0.astype(jnp.float32)
+
+                def at_win(yy, xx):
+                    idx = (yy * wside + xx).reshape(b, n, d * p)
+                    return jnp.take_along_axis(win, idx, axis=2).reshape(
+                        b, n, d, p)
+
+                v00 = at_win(y0, x0)
+                v01 = at_win(y0, x0 + 1)
+                v10 = at_win(y0 + 1, x0)
+                v11 = at_win(y0 + 1, x0 + 1)
+                cand = ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+                        + (v10 * (1 - fx) + v11 * fx) * fy)
+            else:
+                c_pts = (
+                    p1[:, :, None, None, :]
+                    + disp[None, None, :, None, :]
+                    + warped_patch[:, :, None, :, :]
+                )  # (B, N, D, P, 2)
+                cand = bilinear_sample(
+                    img1, c_pts.reshape(b, n * d * p, 2)
+                ).reshape(b, n, d, p)
             c_mean = jnp.mean(cand, -1, keepdims=True)
             c_std = jnp.sqrt(jnp.mean((cand - c_mean) ** 2, -1) + 1e-12)
             cand_n = (cand - c_mean) / (c_std[..., None] + 1e-6)
