@@ -44,28 +44,33 @@ def point_on_line_residual(segs0: jnp.ndarray, l1: jnp.ndarray, H: jnp.ndarray):
     return d.reshape(shp).mean(-1)
 
 
-def joint_dlt(pts0, pts1, w_pts, segs0, l1, w_lines):
+def joint_dlt(pts0, pts1, w_pts, segs0, segs1, l1, w_lines):
     """Weighted DLT over point correspondences + endpoint-on-line rows.
 
-    Hartley normalization of view 0 uses points AND selected line
-    endpoints (so line-only hypotheses stay conditioned); view 1 falls
-    back to the identity frame when no point carries weight (its line
-    rows transform contravariantly through T1 either way)."""
+    Hartley normalization of BOTH views uses points AND selected line
+    endpoints. View 1 MUST be normalized from the line endpoints when no
+    point carries weight: with T1=identity the line rows kron(e0n, l1) mix
+    Hartley-scale endpoints with image-frame line coefficients (offsets of
+    hundreds of px), and the f32 9x9 eigensolve loses the solution —
+    line-only fits returned ~1.4 px corner error on EXACT correspondences
+    (the round-4 `H_error_lines = 0.0` root cause); normalized, the same
+    fit is exact to <1e-2 px."""
     dtype = jnp.float32
     pts0 = pts0.astype(dtype)
     pts1 = pts1.astype(dtype)
     w_pts = w_pts.astype(dtype)
     w_lines = w_lines.astype(dtype)
     ends0 = segs0.reshape(*segs0.shape[:-3], -1, 2).astype(dtype)
+    ends1 = segs1.reshape(*segs1.shape[:-3], -1, 2).astype(dtype)
     wl2_n = jnp.repeat(w_lines, 2, axis=-1)
     _, T0 = _normalize_pts(
         jnp.concatenate([pts0, ends0], axis=-2),
         jnp.concatenate([w_pts, wl2_n], axis=-1),
     )
-    p1n_pts, T1_pts = _normalize_pts(pts1, w_pts)
-    has_pts = (jnp.sum(w_pts, axis=-1) > 0.5)[..., None, None]
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), T1_pts.shape)
-    T1 = jnp.where(has_pts, T1_pts, eye)
+    _, T1 = _normalize_pts(
+        jnp.concatenate([pts1, ends1], axis=-2),
+        jnp.concatenate([w_pts, wl2_n], axis=-1),
+    )
     p0n = jnp.einsum(
         "...ij,...nj->...ni", T0, to_homogeneous(pts0))[..., :2]
     p1n = jnp.einsum(
@@ -124,6 +129,7 @@ def hybrid_ransac_homography(
         jnp.broadcast_to(kpts1, (num_hypotheses, n, 2)),
         wp,
         jnp.broadcast_to(segs0, (num_hypotheses, m, 2, 2)),
+        jnp.broadcast_to(segs1, (num_hypotheses, m, 2, 2)),
         jnp.broadcast_to(l1, (num_hypotheses, m, 3)),
         wl,
     )
@@ -155,7 +161,8 @@ def hybrid_ransac_homography(
         wp = jnp.where(valid_pts & (pe < th_i), 1.0, 0.0)
         wl = jnp.where(valid_lines & (le < th_i * line_th / th), 1.0, 0.0)
         enough = wp.sum() + 2 * wl.sum() > 8.0
-        H_new = joint_dlt(kpts0[None], kpts1[None], wp[None], segs0[None], l1[None], wl[None])[0]
+        H_new = joint_dlt(kpts0[None], kpts1[None], wp[None], segs0[None],
+                          segs1[None], l1[None], wl[None])[0]
         ok = jnp.all(jnp.isfinite(H_new)) & enough & (msac(H_new) >= msac(H_cur))
         return jnp.where(ok, H_new, H_cur), None
 

@@ -242,3 +242,36 @@ def test_hybrid_ransac_line_only():
     err = float(np.asarray(homography_corner_error(
         out["M_0to1"], jnp.asarray(H_gt), jnp.asarray([220.0, 220.0]))))
     assert err < 6.0, err  # line-only H extrapolated to corners: ~4 px at this noise
+
+
+def test_hybrid_ransac_line_only_exact_recovery():
+    """EXACT line correspondences at full image scale must recover H to
+    sub-0.05 px corner error. Round-4 regression (H_error_lines = 0.0 on
+    every board): with zero points, view 1 was left unnormalized, so the
+    f32 9x9 eigensolve mixed Hartley-scale endpoints with image-frame line
+    coefficients and returned ~1.4-424 px even on exact data. joint_dlt now
+    normalizes view 1 from the line endpoints."""
+    rng_l = np.random.default_rng(3)
+    H_gt = np.array([[1.05, 0.08, 12.0], [-0.06, 0.97, -7.0],
+                     [1e-4, -8e-5, 1.0]], np.float32)
+    from gluefactory_tpu.geometry.homography import (
+        homography_corner_error,
+        warp_points_np,
+    )
+
+    for L in (8, 30):
+        segs0 = rng_l.uniform(30, 450, (L, 2, 2)).astype(np.float32)
+        segs1 = warp_points_np(segs0.reshape(-1, 2), H_gt).reshape(L, 2, 2)
+        est = load_estimator("homography", "hybrid_ransac")(
+            {"ransac_th": 3.0, "num_hypotheses": 512})
+        out = est({
+            "m_kpts0": jnp.zeros((0, 2), jnp.float32),
+            "m_kpts1": jnp.zeros((0, 2), jnp.float32),
+            "m_lines0": jnp.asarray(segs0),
+            "m_lines1": jnp.asarray(segs1.astype(np.float32)),
+        })
+        assert out["success"]
+        assert int(np.asarray(out["line_inliers"]).sum()) == L
+        err = float(np.asarray(homography_corner_error(
+            out["M_0to1"], jnp.asarray(H_gt), jnp.asarray([480.0, 480.0]))))
+        assert err < 0.05, (L, err)
