@@ -225,10 +225,71 @@ def main():
     report["median_ref_oneshot_dlt_err"] = float(np.median(ref_dlt))
     report["median_our_irls_dlt_err"] = float(np.median(our_dlt))
 
+    # ---- ESTIMATOR parity: cv2 RANSAC vs our LO-RANSAC on the SAME cached
+    # matches (round-4 verdict missing #1, the estimator half: the reference
+    # eval calls cv2/PoseLib robust estimators — cv2 IS installed here, so
+    # run cv2.findHomography over the identical correspondences and compare
+    # the corner-error AUCs with both pipelines scored by the SAME
+    # crossval'd scorer). Sweep the same threshold list, pick each
+    # estimator's best-by-mAA operating point, exactly like the benchmark.
+    import cv2 as _cv2
+    import torch as _torch
+
+    def ref_corner_error(H_est, H_gt, size):
+        return float(hom.homography_corner_error(
+            _torch.from_numpy(np.asarray(H_est, np.float64)),
+            _torch.from_numpy(np.asarray(H_gt, np.float64)),
+            _torch.tensor(size, dtype=_torch.float64)[None],
+        ))
+
+    ths = [0.5, 1.0, 1.5, 2.0, 2.5, 3.0]
+    cv2_errs = {th: [] for th in ths}
+    loader2 = pipeline.get_dataloader()
+    for batch in loader2:
+        name = batch["name"][0]
+        pred = cache_loader({
+            "name": [name],
+            **{k: v for k, v in batch.items() if k.startswith("view")},
+        })
+        pred = {k: np.asarray(v) for k, v in pred.items()}
+        data = map_tensor(
+            batch, lambda x: x[0] if hasattr(x, "shape") and x.ndim > 0 else x)
+        m0 = pred["matches0"]
+        sel = m0 >= 0
+        p0 = pred["keypoints0"][sel].astype(np.float64)
+        p1 = pred["keypoints1"][np.clip(m0, 0, None)][sel].astype(np.float64)
+        H_gt = np.asarray(data["H_0to1"], np.float64)
+        size = np.asarray(data["view0"]["image_size"], np.float64)
+        for th in ths:
+            err = 1e6
+            if p0.shape[0] >= 4:
+                Hcv, _ = _cv2.findHomography(
+                    p0, p1, _cv2.RANSAC, ransacReprojThreshold=th,
+                    maxIters=2000, confidence=0.9999)
+                if Hcv is not None and np.isfinite(Hcv).all():
+                    err = ref_corner_error(Hcv, H_gt, size)
+            cv2_errs[th].append(err)
+    cv2_maas = {
+        th: float(np.mean(tools.AUCMetric([1, 3, 5], v).compute()))
+        for th, v in cv2_errs.items()
+    }
+    best_cv2_th = max(cv2_maas, key=cv2_maas.get)
+    best_aucs = tools.AUCMetric([1, 3, 5], cv2_errs[best_cv2_th]).compute()
+    for th_i, auc in zip([1, 3, 5], best_aucs):
+        report[f"cv2_ransac_H_error@{th_i}px"] = round(float(auc) * 100, 3)
+    report["cv2_ransac_mAA"] = round(cv2_maas[best_cv2_th] * 100, 3)
+    report["cv2_ransac_best_th"] = best_cv2_th
+    report["estimator_mAA_delta_ours_minus_cv2"] = round(
+        report["our_mAA"] - report["cv2_ransac_mAA"], 3)
+
     out_dir = EVAL_PATH / "hpatches" / "crossval_reference_scoring"
     out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / "summaries.json").write_text(json.dumps(report, indent=2))
     print(json.dumps(report, indent=2))
+
+    # our LO-RANSAC must be at least at parity with the reference-class
+    # cv2 RANSAC on identical matches (small negative slack for seed noise)
+    assert report["estimator_mAA_delta_ours_minus_cv2"] > -2.0, report
 
     # hard checks — identical-math quantities must agree tightly
     assert report["max_abs_diff_num_matches"] == 0.0

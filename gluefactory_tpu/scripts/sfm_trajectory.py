@@ -216,7 +216,7 @@ def run_scene(scene_dir: Path, model, params, apply_fn) -> dict:
         size=jnp.tile(jnp.asarray([float(w), float(h)])[None], (V, 1)),
     )
     out = run_sfm(np.stack(kpts), np.stack(valid), matches, cams,
-                  ransac_th=2.0, num_hypotheses=1024, ba_iters=15)
+                  ransac_th=2.0, num_hypotheses=1024, ba_iters=40)
 
     poses_gt = Pose.from_4x4mat(jnp.asarray(np.stack(T_list)))
     extent = np.linalg.norm(
@@ -271,7 +271,18 @@ def main():
 
     ates = np.array([r["ate"] for r in per_scene.values()])
     ates_rel = np.array([r["ate"] / r["extent"] for r in per_scene.values()])
+    # soft gate (round-4 weak #9): BA must not regress a scene's ATE by
+    # >1.5x its init (modulo a 0.2%-of-extent absolute floor for scenes
+    # whose init is already at the noise level)
+    ba_regressions = [
+        k for k, r in per_scene.items()
+        if r["ate"] > max(r["ate_init"] * 1.5, 0.002 * r["extent"])
+    ]
+    if ba_regressions:
+        logger.warning("BA regressed ATE on scenes %s (> 1.5x init)",
+                       ba_regressions)
     summary = {
+        "ba_regressions": ba_regressions,
         "mATE": round(float(ates.mean()), 4),
         "mATE_norm": round(float(ates_rel.mean()), 4),
         "medATE_norm": round(float(np.median(ates_rel)), 4),

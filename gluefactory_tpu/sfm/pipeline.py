@@ -162,10 +162,20 @@ def run_sfm(
         obs_pt=jnp.asarray(obs_pt, jnp.int32),
         obs_uv=jnp.asarray(np.stack(obs_xy), jnp.float32),
         obs_valid=jnp.ones(len(obs_cam), bool),
-        fixed_cams=jnp.zeros(V, bool).at[0].set(True).at[1].set(True),
+        # gauge: fix cam0 only — fixing cam1 too froze any error of the
+        # 0->1 chain link into the solution (round-4 scene_1 ATE
+        # regression); scale gauge freedom is handled by LM damping and the
+        # Sim(3)-aligned ATE metric
+        fixed_cams=jnp.zeros(V, bool).at[0].set(True),
     )
+    # huber_delta 1.0: at 3.0 px the robust loss kept near-full weight on
+    # 1-3 px biased observations (repeated-texture mislocalizations), which
+    # pulled poses AWAY from GT while the cost dropped — the round-4
+    # "BA worsens ATE while cost decreases" effect. The r5 sweep
+    # (huber 1.0 + cam0-only gauge + 40 LM iters) improves ATE below
+    # ate_init on every trajectory scene.
     poses_opt, points_opt, info = bundle_adjust(
-        problem, num_iters=ba_iters, huber_delta=3.0, trim_th=20.0
+        problem, num_iters=ba_iters, huber_delta=1.0, trim_th=20.0
     )
     logger.info(
         "SfM: %d views, %d tracks, %d obs; BA cost %.4g -> %.4g",
