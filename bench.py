@@ -169,6 +169,12 @@ def run_variant(variant: str, batch: int) -> dict:
         # the full production eval pipeline: extract + match + CoM readout +
         # ZNCC sub-pixel refinement stage (the quality-flagship path)
         conf["filter"] = {"name": "matchers.match_refiner"}
+    if variant.endswith("_refined_static"):
+        # MXU-native refiner formulation (constant-index candidate reads,
+        # affine compensation on the template side) — quality-matched to
+        # the window path on CPU; this variant measures it on the TPU
+        conf["filter"] = {"name": "matchers.match_refiner",
+                          "window_sampling": "static"}
     if variant == "pallas":
         os.environ["GFTPU_FORCE_PALLAS"] = "1"
     model = build_model("two_view_pipeline", conf)
@@ -509,6 +515,7 @@ def main():
         ("train_bf16", "train_bf16:8"),
         ("matcher_only", "matcher_only:8"),
         ("bf16_refined", "bf16_refined:8"),
+        ("bf16_refined_static", "bf16_refined_static:8"),
         ("bf16_b32", "bf16:32"),
         ("matcher_only_b128", "matcher_only:128"),
     ]

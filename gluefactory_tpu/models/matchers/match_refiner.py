@@ -184,7 +184,10 @@ class MatchRefiner(BaseModel):
         textured = t_std > float(conf.min_texture)
 
         amax = float(conf.max_patch_stretch)
-        use_window = bool(conf.get("window_sampling", True))
+        mode = conf.get("window_sampling", True)
+        # 'static' needs integer displacement offsets
+        use_static = mode == "static" and step == 1.0
+        use_window = (mode is True) or (mode == "static" and not use_static)
         if use_window:
             # window radius: covers search + clamped warped patch + bilinear
             rad = int(np.ceil(s * step + r * amax)) + 1
@@ -192,6 +195,23 @@ class MatchRefiner(BaseModel):
             wgrid = jnp.arange(-rad, rad + 1, dtype=jnp.int32)
             img_h, img_w = img1.shape[1:3]
             flat1 = img1.reshape(b, img_h * img_w)
+        if use_static:
+            # MXU-native formulation: move the affine compensation to the
+            # TEMPLATE side (sample view 0 at A^-1 q for an INTEGER grid q
+            # in view 1). Every candidate value is then a fractionally
+            # shifted window read at a CONSTANT index — zero dynamic
+            # gathers inside the displacement x patch product.
+            rad = s + r + 1
+            wside = 2 * rad + 1
+            wgrid = jnp.arange(-rad, rad + 1, dtype=jnp.int32)
+            img_h, img_w = img1.shape[1:3]
+            flat1 = img1.reshape(b, img_h * img_w)
+            # constant (D*P,) index map into the fractionally shifted
+            # (2*rad)^2 window: w_f[j] sits at offset j - rad, so
+            # u = (d + q) + rad
+            off = (disp[:, None, :] + patch[None, :, :] + float(rad)
+                   ).astype(jnp.int32)  # (D, P, 2)
+            static_idx = (off[..., 1] * (2 * rad) + off[..., 0]).reshape(-1)
 
         for _ in range(int(conf.rounds)):
             # shape-only linearization of the current two-view geometry
@@ -205,6 +225,54 @@ class MatchRefiner(BaseModel):
                 warped_patch = jnp.broadcast_to(
                     patch[None, None], (b, n, p, 2)
                 )
+            if use_static:
+                if conf.affine_compensation:
+                    # A^-1 (2x2, batched analytic inverse)
+                    det = (A[..., 0, 0] * A[..., 1, 1]
+                           - A[..., 0, 1] * A[..., 1, 0])
+                    det = jnp.where(jnp.abs(det) < 1e-6,
+                                    jnp.where(det < 0, -1e-6, 1e-6), det)
+                    A_inv = jnp.stack([
+                        jnp.stack([A[..., 1, 1], -A[..., 0, 1]], -1),
+                        jnp.stack([-A[..., 1, 0], A[..., 0, 0]], -1),
+                    ], -2) / det[..., None, None]
+                else:
+                    A_inv = jnp.broadcast_to(
+                        jnp.eye(2, dtype=jnp.float32), (b, n, 2, 2))
+                # template re-sampled each round at A^-1 q (bounded stretch)
+                back = jnp.clip(jnp.einsum("bnij,pj->bnpi", A_inv, patch),
+                                -r * amax, r * amax)
+                t_pts_r = p0[:, :, None, :] + back
+                tpl_r = bilinear_sample(
+                    img0, t_pts_r.reshape(b, n * p, 2)).reshape(b, n, p)
+                tm = jnp.mean(tpl_r, -1, keepdims=True)
+                ts = jnp.sqrt(jnp.mean((tpl_r - tm) ** 2, -1) + 1e-12)
+                tpl_rn = (tpl_r - tm) / (ts[..., None] + 1e-6)
+                # integer window around p1 + fractional shift (pure lerp)
+                base = jnp.floor(p1).astype(jnp.int32)
+                frac = p1 - base.astype(jnp.float32)
+                wy = jnp.clip(base[..., 1:2] + wgrid, 0, img_h - 1)
+                wx = jnp.clip(base[..., 0:1] + wgrid, 0, img_w - 1)
+                widx = (wy[:, :, :, None] * img_w + wx[:, :, None, :])
+                win = jnp.take_along_axis(
+                    flat1, widx.reshape(b, n * wside * wside), axis=1
+                ).reshape(b, n, wside, wside)
+                fx = frac[..., 0][..., None, None]
+                fy = frac[..., 1][..., None, None]
+                w_f = ((win[:, :, :-1, :-1] * (1 - fx) * (1 - fy)
+                        + win[:, :, :-1, 1:] * fx * (1 - fy)
+                        + win[:, :, 1:, :-1] * (1 - fx) * fy
+                        + win[:, :, 1:, 1:] * fx * fy)
+                       .reshape(b, n, (2 * rad) * (2 * rad)))
+                cand = jnp.take(w_f, static_idx, axis=-1).reshape(b, n, d, p)
+                c_mean = jnp.mean(cand, -1, keepdims=True)
+                c_std = jnp.sqrt(jnp.mean((cand - c_mean) ** 2, -1) + 1e-12)
+                cand_n = (cand - c_mean) / (c_std[..., None] + 1e-6)
+                zncc = jnp.mean(tpl_rn[:, :, None, :] * cand_n, -1)
+                delta, peak = _quadratic_peak(zncc, side)
+                ok = valid & textured & (peak > float(conf.zncc_min))
+                p1 = jnp.where(ok[..., None], p1 + delta * step, p1)
+                continue
             if use_window:
                 warped_patch = jnp.clip(warped_patch, -r * amax, r * amax)
                 base = jnp.floor(p1).astype(jnp.int32)  # (B, N, 2)
