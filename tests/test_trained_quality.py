@@ -767,3 +767,27 @@ def test_trained_jpldd_desc_quality(tmp_path):
     assert np.median(stats["matches"]) > 100, stats
     assert np.median(stats["prec3"]) > 0.6, stats
     assert np.median(stats["h_err"]) < 5.0, stats
+
+
+LG5_BLOB = WEIGHTS_PATH / "lg_tpu_stage5.f16.msgpack"
+
+
+@pytest.mark.skipif(not LG5_BLOB.exists(), reason="no stage-5 weights")
+def test_trained_spsoft_lg5_quality(tmp_path):
+    """Stage-5 gate: from-scratch soft-cell-label SP + LightGlue adapted to
+    it with bench-driven checkpoint selection at the EVAL operating point
+    (round-4 ask #1). Full-set rows (r5): famA mAA 43.1
+    (outputs/results/hpatches/spsoft_lg5b_com), famB OOD mAA 61.4 — the
+    famB row BEATS the stage0-lineage SP0b+LG2 (60.3); famA stays below it
+    (52.4): the from-scratch extractor lineage wins out-of-distribution,
+    loses in-family. The blob carries BOTH the extractor and matcher."""
+    pairs = render_pairs(tmp_path)
+    model, params = build_pipeline(
+        with_lg=True, refinement_radius=2, refinement_mode="com",
+    )
+    flat, _, _ = load_weight_blob(LG5_BLOB)
+    params = restore_from_flat_dict(params, flat)
+    stats = run_quality(model, params, pairs)
+    assert np.median(stats["matches"]) > 120, stats
+    assert np.median(stats["prec3"]) > 0.55, stats
+    assert np.median(stats["h_err"]) < 4.0, stats
