@@ -126,14 +126,17 @@ class MatchRefiner(BaseModel):
         "zncc_min": 0.4,        # keep the original position below this
         "min_texture": 0.01,    # min template std (images in [0, 1])
         "affine_compensation": True,
-        # TPU fast path: gather ONE dense integer-grid window per match from
-        # HBM (W^2 fetches) and do all D*P candidate interpolations inside
-        # that small local tensor — ~30x fewer HBM gathers than direct
-        # bilinear taps at the default sizes (the r4 bench measured the
-        # direct path at 3.1 pairs/s, gather-bound: the whole refiner is
-        # only ~0.6 GFLOP/pair). False = legacy direct sampling (A/B
-        # reference; bit-identical away from image borders / extreme warps).
-        "window_sampling": True,
+        # Candidate sampling strategy (r5 BENCH, flagship shapes, batch 8):
+        #   'auto'   -> 'static' on TPU, window elsewhere (default)
+        #   'static' -> MXU-native: affine compensation on the TEMPLATE side
+        #               + constant-index reads of a fractionally shifted
+        #               window — 47.4 pairs/s on the TPU (legacy/window:
+        #               2-3), but slow on CPU (constant-gather-hostile)
+        #   True     -> ONE dense integer window per match + in-window
+        #               interpolation (~30x fewer HBM gathers than legacy;
+        #               best on CPU, 5.9x over legacy; bit-parity with it)
+        #   False    -> legacy direct bilinear taps (A/B reference)
+        "window_sampling": "auto",
         # affine patch stretch clamp: bounds the window radius; warps with
         # per-axis |A| beyond this are clamped to the window edge
         "max_patch_stretch": 1.5,
@@ -184,7 +187,11 @@ class MatchRefiner(BaseModel):
         textured = t_std > float(conf.min_texture)
 
         amax = float(conf.max_patch_stretch)
-        mode = conf.get("window_sampling", True)
+        mode = conf.get("window_sampling", "auto")
+        if mode == "auto":
+            import jax
+
+            mode = "static" if jax.default_backend() == "tpu" else True
         # 'static' needs integer displacement offsets
         use_static = mode == "static" and step == 1.0
         use_window = (mode is True) or (mode == "static" and not use_static)
