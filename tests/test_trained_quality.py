@@ -835,3 +835,43 @@ def test_trained_sift_superglue_quality(tmp_path):
     assert np.median(stats["matches"]) > 60, stats
     assert np.median(stats["prec3"]) > 0.6, stats
     assert np.median(stats["h_err"]) < 1.5, stats
+
+
+JPLDD_DESCB_BLOB = WEIGHTS_PATH / "jpldd_tpu_structured_descB.f16.msgpack"
+
+
+@pytest.mark.skipif(not JPLDD_DESCB_BLOB.exists(), reason="no JPLDD descB")
+def test_trained_jpldd_unified_quality(tmp_path):
+    """JPLDD UNIFIED gate (round-4 ask #4: ONE joint model, not a relay of
+    two trunks): structured phase-A trunk + phase-B SDDH descriptors
+    trained on it with the trunk frozen. Full rows
+    (outputs/results/hpatches_extended/jpldd_structured_descB*): famA mAA
+    65.3 / prec@1px 0.68, famB 77.0, kp rep 0.907 / line rep 0.740
+    preserved, Wunsch line matching 0.82/0.77. This gate runs the joint
+    extractor + NN matching on fresh renders and checks descriptor-driven
+    match precision — the quantity phase B added."""
+    pairs = render_pairs(tmp_path, n_seqs=2)
+    conf = {
+        "extractor": {
+            "name": "extractors.joint_point_line_extractor",
+            "max_num_keypoints": 512,
+            "detection_threshold": 0.005,
+            "extract_lines": False,
+        },
+        "matcher": {"name": "matchers.nearest_neighbor_matcher",
+                    "ratio_thresh": 0.95},
+    }
+    model = build_model("two_view_pipeline", conf)
+    data0 = {
+        "view0": {"image": jnp.zeros((1, 360, 480, 3)),
+                  "image_size": jnp.asarray([[480.0, 360.0]])},
+        "view1": {"image": jnp.zeros((1, 360, 480, 3)),
+                  "image_size": jnp.asarray([[480.0, 360.0]])},
+    }
+    params = model.init(jax.random.key(0), data0)
+    flat, _, _ = load_weight_blob(JPLDD_DESCB_BLOB)
+    params = restore_from_flat_dict(params, flat)
+    stats = run_quality(model, params, pairs)
+    assert np.median(stats["matches"]) > 80, stats
+    assert np.median(stats["prec3"]) > 0.7, stats
+    assert np.median(stats["h_err"]) < 2.0, stats
