@@ -44,6 +44,7 @@ def _worker(which: str) -> None:
         return
     # full fused attention kernel on realistic LightGlue shapes
     os.environ["GFTPU_FORCE_PALLAS"] = "1"
+    sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
     from gluefactory_tpu.ops.attention import attention
 
     q = jax.random.normal(jax.random.key(0), (8, 4, 1024, 64))
