@@ -45,10 +45,15 @@ def _worker(which: str) -> None:
     # full fused attention kernel on realistic LightGlue shapes
     os.environ["GFTPU_FORCE_PALLAS"] = "1"
     sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
-    from gluefactory_tpu.ops.attention import attention
+    
 
     q = jax.random.normal(jax.random.key(0), (8, 4, 1024, 64))
-    out = attention(q, q, q, impl="pallas")
+    from gluefactory_tpu.ops.attention import attention_pallas, attention_xla
+    out = attention_pallas(q, q, q)
+    ref = attention_xla(q, q, q)
+    import numpy as _np
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 1e-2, err
     print(json.dumps({"ok": True, "checksum": float(out.sum())}))
 
 
